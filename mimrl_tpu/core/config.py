@@ -1,0 +1,243 @@
+"""Configuration system.
+
+Reproduces the full ~50-flag CLI surface of the reference
+(ref: Parameters.py:4-74) — same flag names, same defaults, same string
+DSLs — as a typed dataclass that the rest of the framework consumes.
+
+Extra TPU-native knobs (mesh shape, dtype policy, pallas toggles, resume)
+are added at the end and default to off/auto so the reference command
+lines work verbatim.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+from mimrl_tpu.utils.parsers import str2bools, str2floats, str2listoffints
+
+
+@dataclass
+class MimrlConfig:
+    # --- Names, paths, logs (ref: Parameters.py:8) ---
+    task_name: str = "test"
+
+    # --- Data parameters (ref: Parameters.py:11-23) ---
+    dataset: str = "mosi_SDK"
+    normalize: List[bool] = field(default_factory=lambda: [False, False, False])
+    log_scale: List[bool] = field(default_factory=lambda: [False, False, False])
+    text: str = "text"
+    audio: str = "covarep"
+    video: str = "facet41"
+    batch_size: int = 16
+    num_workers: int = 4
+    persistent_workers: bool = False
+    pin_memory: bool = False
+    drop_last: bool = False
+    task: str = "regression"  # classification | regression
+    num_class: int = 1
+
+    # --- Model parameters (ref: Parameters.py:26-38) ---
+    d_common: int = 128
+    encoders: str = "gru"  # gru | lstm | conv
+    features_compose_t: str = "mean"  # mean | sum | cat
+    features_compose_k: str = "mean"  # mean | sum | cat
+    activate: str = "gelu"
+    time_len: int = 100
+    d_hiddens: List[List[int]] = field(
+        default_factory=lambda: [[10, 2, 128], [5, 2, 128]]
+    )
+    d_outs: List[List[int]] = field(default_factory=lambda: [[10, 2, 128], [5, 2, 128]])
+    dropout_mlp: List[float] = field(default_factory=lambda: [0.5, 0.5, 0.5])
+    dropout: List[float] = field(default_factory=lambda: [0.5, 0.5, 0.5, 0.5])
+    bias: bool = False
+    ln_first: bool = False
+    res_project: List[bool] = field(default_factory=lambda: [True, True])
+
+    # --- VMI estimation (ref: Parameters.py:41-51) ---
+    critic_type: str = "separate"  # separate | concat
+    baseline_type: str = "constant"  # constant | unnormalized | gaussain [sic]
+    bound_type: str = "infonce"  # dv mine tuba nwj infonce js js_fgan smile interpolate
+    loss_mi_coefficient1: List[float] = field(default_factory=lambda: [0.1] * 11)
+    loss_mi_coefficient2: List[float] = field(default_factory=lambda: [0.1] * 8)
+    mi_lr_rate: float = 1.0
+    cmi_lr_rate: float = 1.0  # parsed but unused by Solver (ref: Solver.py:140-142)
+    k_neighbor: int = 2
+    radius: float = 1.0
+    cmi_last_acticate: str = "sigmoid"  # hardtanh | sigmoid  [sic spelling]
+    stage1_n: int = 1
+
+    # --- Training and optimization (ref: Parameters.py:54-70) ---
+    seed: int = 0
+    loss: str = "MAE"  # Focal CE BCE RMSE MSE SIMSE MAE CCC
+    gradient_clip: float = 1.0
+    epochs_num: int = 2
+    optm: str = "Adam"  # SGD | SAM | Adam
+    learning_rate: float = 4e-3
+    bert_freeze: str = "no"  # part | no | all
+    bert_lr_rate: float = -1.0
+    weight_decay: float = 0.0
+    lr_decrease: str = "step"  # multi_step | step | exp | plateau
+    lr_decrease_iter: str = "60"
+    lr_decrease_rate: float = 0.1
+    save_best_features: bool = False
+    print_params: bool = False
+    check_gradient: bool = False
+    parallel: bool = False
+    cuda: str = "0"  # accepted for CLI parity; ignored on TPU
+
+    # --- TPU-native extensions (new in mimrl_tpu) ---
+    mesh_data: int = -1  # -1 = all visible devices on the data axis
+    mesh_model: int = 1  # tensor-parallel axis size
+    compute_dtype: str = "float32"  # float32 | bfloat16 (matmul inputs)
+    use_pallas: bool = False  # fused Pallas CubeMLP kernel
+    data_dir: Optional[str] = None  # overrides dataset root paths
+    bert_vocab: Optional[str] = None  # path to a WordPiece vocab.txt
+    bert_weights: Optional[str] = None  # path to pretrained BERT weights (.msgpack/.npz)
+    bert_layers: int = 12  # BERT depth (12 = bert-base)
+    bert_heads: int = 12
+    bert_hidden: int = 768
+    resume: Optional[str] = None  # checkpoint dir to resume from
+    task_dir: str = "./TaskRuning"  # run dir root [sic spelling, ref: Solver.py:108]
+    jit_backend: Optional[str] = None  # force a jax platform (tests use 'cpu')
+    bank_dtype: str = "float32"
+
+    # Derived/validation -----------------------------------------------------
+    def __post_init__(self):
+        assert self.encoders in ("lstm", "gru", "conv")
+        assert self.features_compose_t in ("mean", "cat", "sum")
+        assert self.features_compose_k in ("mean", "cat", "sum")
+        assert self.task in ("classification", "regression")
+        assert self.critic_type in ("separate", "concat")
+        assert self.baseline_type in ("constant", "unnormalized", "gaussain")
+        assert self.bound_type in (
+            "dv", "mine", "tuba", "nwj", "infonce", "js", "js_fgan", "smile",
+            "interpolate",
+        )
+        assert self.cmi_last_acticate in ("hardtanh", "sigmoid")
+        assert len(self.d_hiddens) == len(self.d_outs) == len(self.res_project), (
+            "d_hiddens, d_outs and res_project must have the same depth"
+        )
+        assert len(self.loss_mi_coefficient1) == 11
+        assert len(self.loss_mi_coefficient2) == 8
+
+    # IO ---------------------------------------------------------------------
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2)
+
+    @classmethod
+    def from_json(cls, s: str) -> "MimrlConfig":
+        return cls(**json.loads(s))
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "MimrlConfig":
+        known = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in d.items() if k in known})
+
+    def replace(self, **kw) -> "MimrlConfig":
+        return dataclasses.replace(self, **kw)
+
+
+def build_arg_parser() -> argparse.ArgumentParser:
+    """argparse surface identical to the reference (ref: Parameters.py:4-74),
+    plus the TPU-native extension flags."""
+    p = argparse.ArgumentParser()
+    d = MimrlConfig()
+
+    # Names, paths, logs
+    p.add_argument("--task_name", default=d.task_name)
+
+    # Data parameters
+    p.add_argument("--dataset", default=d.dataset, type=str)
+    p.add_argument("--normalize", default="0-0-0", type=str2bools)
+    p.add_argument("--log_scale", default="0-0-0", type=str2bools)
+    p.add_argument("--text", default=d.text, type=str)
+    p.add_argument("--audio", default=d.audio, type=str)
+    p.add_argument("--video", default=d.video, type=str)
+    p.add_argument("--batch_size", default=d.batch_size, type=int)
+    p.add_argument("--num_workers", default=d.num_workers, type=int)
+    p.add_argument("--persistent_workers", action="store_true")
+    p.add_argument("--pin_memory", action="store_true")
+    p.add_argument("--drop_last", action="store_true")
+    p.add_argument("--task", default=d.task, type=str,
+                   choices=["classification", "regression"])
+    p.add_argument("--num_class", default=d.num_class, type=int)
+
+    # Model parameters
+    p.add_argument("--d_common", default=d.d_common, type=int)
+    p.add_argument("--encoders", default=d.encoders, type=str)
+    p.add_argument("--features_compose_t", default=d.features_compose_t, type=str)
+    p.add_argument("--features_compose_k", default=d.features_compose_k, type=str)
+    p.add_argument("--activate", default=d.activate, type=str)
+    p.add_argument("--time_len", default=d.time_len, type=int)
+    p.add_argument("--d_hiddens", default="10-2-128=5-2-128", type=str2listoffints)
+    p.add_argument("--d_outs", default="10-2-128=5-2-128", type=str2listoffints)
+    p.add_argument("--dropout_mlp", default="0.5-0.5-0.5", type=str2floats)
+    p.add_argument("--dropout", default="0.5-0.5-0.5-0.5", type=str2floats)
+    p.add_argument("--bias", action="store_true")
+    p.add_argument("--ln_first", action="store_true")
+    p.add_argument("--res_project", default="1-1", type=str2bools)
+
+    # VMI estimation
+    p.add_argument("--critic_type", default=d.critic_type, type=str)
+    p.add_argument("--baseline_type", default=d.baseline_type, type=str)
+    p.add_argument("--bound_type", default=d.bound_type, type=str)
+    p.add_argument("--loss_mi_coefficient1",
+                   default="-".join(["0.1"] * 11), type=str2floats)
+    p.add_argument("--loss_mi_coefficient2",
+                   default="-".join(["0.1"] * 8), type=str2floats)
+    p.add_argument("--mi_lr_rate", default=d.mi_lr_rate, type=float)
+    p.add_argument("--cmi_lr_rate", default=d.cmi_lr_rate, type=float)
+    p.add_argument("--k_neighbor", default=d.k_neighbor, type=int)
+    p.add_argument("--radius", default=d.radius, type=float)
+    p.add_argument("--cmi_last_acticate", default=d.cmi_last_acticate, type=str,
+                   choices=["hardtanh", "sigmoid"])
+    p.add_argument("--stage1_n", default=d.stage1_n, type=int)
+
+    # Training and optimization
+    p.add_argument("--seed", default=d.seed, type=int)
+    p.add_argument("--loss", default=d.loss,
+                   choices=["Focal", "CE", "BCE", "RMSE", "MSE", "SIMSE", "MAE", "CCC"])
+    p.add_argument("--gradient_clip", default=d.gradient_clip, type=float)
+    p.add_argument("--epochs_num", default=d.epochs_num, type=int)
+    p.add_argument("--optm", default=d.optm, type=str,
+                   choices=["SGD", "SAM", "Adam"])
+    p.add_argument("--learning_rate", default=d.learning_rate, type=float)
+    p.add_argument("--bert_freeze", default=d.bert_freeze, type=str,
+                   choices=["part", "no", "all"])
+    p.add_argument("--bert_lr_rate", default=d.bert_lr_rate, type=float)
+    p.add_argument("--weight_decay", default=d.weight_decay, type=float)
+    p.add_argument("--lr_decrease", default=d.lr_decrease, type=str,
+                   choices=["multi_step", "step", "exp", "plateau"])
+    p.add_argument("--lr_decrease_iter", default=d.lr_decrease_iter, type=str)
+    p.add_argument("--lr_decrease_rate", default=d.lr_decrease_rate, type=float)
+    p.add_argument("--save_best_features", action="store_true")
+    p.add_argument("--print_params", action="store_true")
+    p.add_argument("--check_gradient", action="store_true")
+    p.add_argument("--parallel", action="store_true")
+    p.add_argument("--cuda", default=d.cuda, type=str)
+
+    # TPU-native extensions
+    p.add_argument("--mesh_data", default=d.mesh_data, type=int)
+    p.add_argument("--mesh_model", default=d.mesh_model, type=int)
+    p.add_argument("--compute_dtype", default=d.compute_dtype, type=str)
+    p.add_argument("--use_pallas", action="store_true")
+    p.add_argument("--data_dir", default=None, type=str)
+    p.add_argument("--bert_vocab", default=None, type=str)
+    p.add_argument("--bert_weights", default=None, type=str)
+    p.add_argument("--bert_layers", default=d.bert_layers, type=int)
+    p.add_argument("--bert_heads", default=d.bert_heads, type=int)
+    p.add_argument("--bert_hidden", default=d.bert_hidden, type=int)
+    p.add_argument("--resume", default=None, type=str)
+    p.add_argument("--task_dir", default=d.task_dir, type=str)
+    p.add_argument("--jit_backend", default=None, type=str)
+    p.add_argument("--bank_dtype", default=d.bank_dtype, type=str)
+    return p
+
+
+def parse_args(argv=None) -> MimrlConfig:
+    ns = build_arg_parser().parse_args(argv)
+    return MimrlConfig.from_dict(vars(ns))

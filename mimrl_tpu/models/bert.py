@@ -1,0 +1,221 @@
+"""BERT text extractor (flax).
+
+The reference loads HuggingFace `bert-base-uncased`
+(ref: Model.py:243-244). This is a from-scratch flax implementation of
+the same architecture (identical parameter shapes / layout semantics), so
+the framework runs hermetically with random init and can load pretrained
+weights the user supplies:
+
+- `load_bert_weights(path)` accepts a `.npz` of flattened params or a
+  HuggingFace PyTorch `pytorch_model.bin` (converted through
+  `convert_hf_torch_state_dict`).
+
+Only `last_hidden_state` is consumed downstream (ref: Model.py:391 takes
+``[0]``), so pooler weights are optional.
+
+TPU notes: attention is batched MXU matmuls over static
+``[bs, time_len]`` shapes; additive masking uses a large negative instead
+of -inf so bf16 stays finite.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class BertConfig:
+    vocab_size: int = 30522
+    hidden_size: int = 768
+    num_hidden_layers: int = 12
+    num_attention_heads: int = 12
+    intermediate_size: int = 3072
+    max_position_embeddings: int = 512
+    type_vocab_size: int = 2
+    layer_norm_eps: float = 1e-12
+    hidden_dropout_prob: float = 0.1
+    attention_probs_dropout_prob: float = 0.1
+
+    @classmethod
+    def tiny(cls) -> "BertConfig":
+        """Small config for tests."""
+        return cls(vocab_size=128, hidden_size=32, num_hidden_layers=2,
+                   num_attention_heads=2, intermediate_size=64,
+                   max_position_embeddings=64)
+
+
+class BertEmbeddings(nn.Module):
+    config: BertConfig
+
+    @nn.compact
+    def __call__(self, input_ids, token_type_ids, deterministic=True):
+        c = self.config
+        T = input_ids.shape[1]
+        word = nn.Embed(c.vocab_size, c.hidden_size, name="word_embeddings")(
+            input_ids)
+        pos_ids = jnp.arange(T)[None, :]
+        pos = nn.Embed(c.max_position_embeddings, c.hidden_size,
+                       name="position_embeddings")(pos_ids)
+        tok = nn.Embed(c.type_vocab_size, c.hidden_size,
+                       name="token_type_embeddings")(token_type_ids)
+        x = word + pos + tok
+        x = nn.LayerNorm(epsilon=c.layer_norm_eps, name="layer_norm")(x)
+        return nn.Dropout(c.hidden_dropout_prob)(x, deterministic=deterministic)
+
+
+class BertSelfAttention(nn.Module):
+    config: BertConfig
+
+    @nn.compact
+    def __call__(self, x, attn_bias, deterministic=True):
+        c = self.config
+        H, nh = c.hidden_size, c.num_attention_heads
+        hd = H // nh
+        bs, T, _ = x.shape
+
+        def heads(name):
+            y = nn.Dense(H, name=name)(x)
+            return y.reshape(bs, T, nh, hd).transpose(0, 2, 1, 3)
+
+        q, k, v = heads("query"), heads("key"), heads("value")
+        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                            preferred_element_type=jnp.float32)
+        scores = scores / jnp.sqrt(jnp.float32(hd)) + attn_bias
+        probs = jax.nn.softmax(scores, axis=-1)
+        probs = nn.Dropout(c.attention_probs_dropout_prob)(
+            probs, deterministic=deterministic)
+        ctx = jnp.einsum("bhqk,bhkd->bhqd", probs, v,
+                         preferred_element_type=jnp.float32)
+        ctx = ctx.transpose(0, 2, 1, 3).reshape(bs, T, H)
+        out = nn.Dense(H, name="output_dense")(ctx)
+        out = nn.Dropout(c.hidden_dropout_prob)(out, deterministic=deterministic)
+        return nn.LayerNorm(epsilon=c.layer_norm_eps, name="output_layer_norm")(
+            out + x)
+
+
+class BertLayer(nn.Module):
+    config: BertConfig
+
+    @nn.compact
+    def __call__(self, x, attn_bias, deterministic=True):
+        c = self.config
+        x = BertSelfAttention(c, name="attention")(x, attn_bias, deterministic)
+        h = nn.Dense(c.intermediate_size, name="intermediate_dense")(x)
+        h = jax.nn.gelu(h, approximate=False)
+        h = nn.Dense(c.hidden_size, name="output_dense")(h)
+        h = nn.Dropout(c.hidden_dropout_prob)(h, deterministic=deterministic)
+        return nn.LayerNorm(epsilon=c.layer_norm_eps, name="output_layer_norm")(
+            h + x)
+
+
+class BertModel(nn.Module):
+    """Returns last_hidden_state [bs, T, hidden]."""
+
+    config: BertConfig
+
+    @nn.compact
+    def __call__(self, input_ids, token_type_ids, attention_mask,
+                 deterministic=True):
+        c = self.config
+        x = BertEmbeddings(c, name="embeddings")(
+            input_ids, token_type_ids, deterministic)
+        # additive bias: 0 for valid, large negative for padding
+        attn_bias = (1.0 - attention_mask[:, None, None, :].astype(jnp.float32))
+        attn_bias = attn_bias * jnp.float32(-1e9)
+        for i in range(c.num_hidden_layers):
+            x = BertLayer(c, name=f"layer_{i}")(x, attn_bias, deterministic)
+        return x
+
+
+# ---------------------------------------------------------------------------
+# Weight loading
+# ---------------------------------------------------------------------------
+
+_HF_MAP = {
+    # hf torch name fragment -> flax path fragments
+    "embeddings.word_embeddings.weight": ("embeddings", "word_embeddings", "embedding"),
+    "embeddings.position_embeddings.weight": ("embeddings", "position_embeddings", "embedding"),
+    "embeddings.token_type_embeddings.weight": ("embeddings", "token_type_embeddings", "embedding"),
+    "embeddings.LayerNorm.weight": ("embeddings", "layer_norm", "scale"),
+    "embeddings.LayerNorm.bias": ("embeddings", "layer_norm", "bias"),
+}
+
+
+def _layer_map(i: int) -> Dict[str, tuple]:
+    p = f"encoder.layer.{i}."
+    f = (f"layer_{i}",)
+    return {
+        p + "attention.self.query.weight": f + ("attention", "query", "kernel"),
+        p + "attention.self.query.bias": f + ("attention", "query", "bias"),
+        p + "attention.self.key.weight": f + ("attention", "key", "kernel"),
+        p + "attention.self.key.bias": f + ("attention", "key", "bias"),
+        p + "attention.self.value.weight": f + ("attention", "value", "kernel"),
+        p + "attention.self.value.bias": f + ("attention", "value", "bias"),
+        p + "attention.output.dense.weight": f + ("attention", "output_dense", "kernel"),
+        p + "attention.output.dense.bias": f + ("attention", "output_dense", "bias"),
+        p + "attention.output.LayerNorm.weight": f + ("attention", "output_layer_norm", "scale"),
+        p + "attention.output.LayerNorm.bias": f + ("attention", "output_layer_norm", "bias"),
+        p + "intermediate.dense.weight": f + ("intermediate_dense", "kernel"),
+        p + "intermediate.dense.bias": f + ("intermediate_dense", "bias"),
+        p + "output.dense.weight": f + ("output_dense", "kernel"),
+        p + "output.dense.bias": f + ("output_dense", "bias"),
+        p + "output.LayerNorm.weight": f + ("output_layer_norm", "scale"),
+        p + "output.LayerNorm.bias": f + ("output_layer_norm", "bias"),
+    }
+
+
+def convert_hf_torch_state_dict(state_dict: Dict[str, Any],
+                                config: BertConfig) -> Dict:
+    """Convert a HuggingFace BertModel torch state_dict (numpy-able
+    tensors) to this module's flax params tree. Linear weights are
+    transposed (torch stores [out, in], flax Dense stores [in, out])."""
+    mapping = dict(_HF_MAP)
+    for i in range(config.num_hidden_layers):
+        mapping.update(_layer_map(i))
+
+    params: Dict = {}
+    for torch_name, flax_path in mapping.items():
+        candidates = [torch_name, "bert." + torch_name]
+        tensor = None
+        for cand in candidates:
+            if cand in state_dict:
+                tensor = np.asarray(state_dict[cand])
+                break
+        if tensor is None:
+            raise KeyError(f"missing weight: {torch_name}")
+        if flax_path[-1] == "kernel":
+            tensor = tensor.T
+        node = params
+        for k in flax_path[:-1]:
+            node = node.setdefault(k, {})
+        node[flax_path[-1]] = jnp.asarray(tensor)
+    return {"params": params}
+
+
+def load_bert_weights(path: str, config: BertConfig) -> Dict:
+    """Load BERT params from `.npz` (flattened 'a/b/c' keys) or a torch
+    checkpoint file."""
+    if path.endswith(".npz"):
+        flat = np.load(path)
+        params: Dict = {}
+        for key in flat.files:
+            node = params
+            parts = key.split("/")
+            for k in parts[:-1]:
+                node = node.setdefault(k, {})
+            node[parts[-1]] = jnp.asarray(flat[key])
+        return {"params": params}
+    # torch checkpoint
+    import torch  # CPU torch is available in the environment
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    sd = {k: v.numpy() for k, v in sd.items()}
+    return convert_hf_torch_state_dict(sd, config)

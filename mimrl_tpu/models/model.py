@@ -1,0 +1,345 @@
+"""The MIMRL model: BERT text extractor + GRU/LSTM/Conv A-V encoders +
+CubeMLP fusion + classifier, plus the embedded MI/CMI estimator bank.
+
+Functional flax re-design of the reference `Model`
+(ref: Model.py:227-519). Sub-module names mirror the reference's
+attribute names so the optimizer's name-based parameter split
+('bert*' / 'vmi*' / 'vcmi*' / rest, ref: Solver.py:119-142) works
+identically on the flax param tree's top-level keys.
+
+Static-shape design notes (divergences from the reference, all
+documented):
+
+- All modality streams arrive padded to ``time_len``. The reference pads
+  audio/video to the *batch max* length and computes the time-mean
+  summary features over that dynamic length (ref: Model.py:466); here the
+  mean runs over the static ``time_len``. For the canonical Dec recipe
+  the reference's BERT input is already fixed-length ``time_len``
+  (ref: DataLoaderCMUDeclareLab.py:423-430), so the text path is
+  semantics-identical; for batch-max-padded datasets the summary feature
+  scale differs by the (constant) padding ratio.
+- RNN outputs at padded positions are exactly 0 (pad_packed semantics),
+  then LayerNorm+ReLU runs over *all* positions including padded ones —
+  matching the reference, which also LayerNorms the zero rows
+  (ref: Model.py:457).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from mimrl_tpu.mi.estimators import VCMIEstimator, VMIEstimator
+from mimrl_tpu.models.bert import BertConfig, BertModel
+from mimrl_tpu.models.cubemlp import MLPEncoder
+from mimrl_tpu.models.encoders import (
+    BiRnnEncoder,
+    ConvEncoder,
+    lengths_from_sequence,
+    prefix_mask,
+)
+
+Array = jax.Array
+
+# Estimator hyperparameters hard-coded by the reference (ref: Model.py:285-286)
+EST_HIDDEN_DIM = 256
+EST_EMBED_DIM = 128
+EST_LAYERS = 2
+EST_ACTIVATION = "relu"
+EST_MU, EST_RHO = 0.0, 1.0
+
+CMI_KEYS = ("ac_t", "ta_c", "vc_t", "tv_c", "tc_a", "tc_v")
+
+
+def get_output_dim(features_compose_t: str, features_compose_k: str,
+                   d_out: int, t_out: int, k_out: int) -> int:
+    """Classifier input width (ref: Model.py:12-27)."""
+    if features_compose_k in ("mean", "sum"):
+        classify_dim = d_out
+    elif features_compose_k == "cat":
+        classify_dim = d_out * k_out
+    else:
+        raise NotImplementedError(features_compose_k)
+    if features_compose_t == "cat":
+        classify_dim = classify_dim * t_out
+    elif features_compose_t not in ("mean", "sum"):
+        raise NotImplementedError(features_compose_t)
+    return classify_dim
+
+
+class MimrlModel(nn.Module):
+    # modality dims
+    d_t: int
+    d_a: int
+    d_v: int
+    d_common: int = 128
+    encoders: str = "gru"
+    features_compose_t: str = "mean"
+    features_compose_k: str = "mean"
+    num_class: int = 1
+    activate: str = "gelu"
+    time_len: int = 100
+    d_hiddens: Sequence[Sequence[int]] = ((10, 2, 128), (5, 2, 128))
+    d_outs: Sequence[Sequence[int]] = ((10, 2, 128), (5, 2, 128))
+    dropout_mlp: Sequence[float] = (0.5, 0.5, 0.5)
+    dropout: Sequence[float] = (0.5, 0.5, 0.5, 0.5)
+    bias: bool = False
+    ln_first: bool = False
+    res_project: Sequence[bool] = (True, True)
+    # MI estimation
+    critic_type: str = "separate"
+    baseline_type: str = "constant"
+    bound_type: str = "infonce"
+    k_neighbor: int = 2
+    radius: float = 1.0
+    cmi_last_acticate: str = "sigmoid"
+    # BERT
+    bert_config: BertConfig = BertConfig()
+
+    def setup(self):
+        assert self.encoders in ("lstm", "gru", "conv")
+        c = self.bert_config
+
+        self.bertmodel = BertModel(c, name="bertmodel")
+        # projector (no bias, ref: Model.py:264)
+        self.W_t = nn.Dense(self.d_common, use_bias=False, name="W_t")
+
+        if self.encoders == "conv":
+            self.conv_a = ConvEncoder(self.d_common, name="conv_a")
+            self.conv_v = ConvEncoder(self.d_common, name="conv_v")
+        elif self.encoders == "lstm":
+            # 1-layer bidirectional LSTM (ref: Model.py:251-252)
+            self.rnn_a = BiRnnEncoder("lstm", self.d_common, 1, name="rnn_a")
+            self.rnn_v = BiRnnEncoder("lstm", self.d_common, 1, name="rnn_v")
+        else:
+            # 2-layer bidirectional GRU (ref: Model.py:254-255)
+            self.rnn_a = BiRnnEncoder("gru", self.d_common, 2, name="rnn_a")
+            self.rnn_v = BiRnnEncoder("gru", self.d_common, 2, name="rnn_v")
+
+        self.ln_a = nn.LayerNorm(epsilon=1e-6, name="ln_a")
+        self.ln_v = nn.LayerNorm(epsilon=1e-6, name="ln_v")
+        self.dropout_t = nn.Dropout(self.dropout[0])
+        self.dropout_a = nn.Dropout(self.dropout[1])
+        self.dropout_v = nn.Dropout(self.dropout[2])
+
+        self.mlp_encoder = MLPEncoder(
+            activate=self.activate,
+            d_in=(self.time_len, 3, self.d_common),
+            d_hiddens=self.d_hiddens,
+            d_outs=self.d_outs,
+            dropouts=self.dropout_mlp,
+            use_bias=self.bias,
+            ln_first=self.ln_first,
+            res_project=self.res_project,
+            name="mlp_encoder",
+        )
+
+        classify_dim = get_output_dim(
+            self.features_compose_t, self.features_compose_k,
+            self.d_outs[-1][2], self.d_outs[-1][0], self.d_outs[-1][1],
+        )
+        self._classify_dim = classify_dim
+        if classify_dim <= 128:
+            self.classifier = nn.Dense(self.num_class, name="classifier")
+        else:
+            self.classifier_hidden = nn.Dense(128, name="classifier_hidden")
+            self.classifier_dropout = nn.Dropout(self.dropout[3])
+            self.classifier = nn.Dense(self.num_class, name="classifier")
+
+        est_kw = dict(
+            critic_type=self.critic_type, baseline_type=self.baseline_type,
+            bound_type=self.bound_type, hidden_dim=EST_HIDDEN_DIM,
+            embed_dim=EST_EMBED_DIM, layers=EST_LAYERS,
+            activation=EST_ACTIVATION, mu=EST_MU, rho=EST_RHO,
+        )
+        # Fusion information: I(F;T), I(F;A), I(F;V) (ref: Model.py:290-292)
+        self.vmi_estimator_f_t = VMIEstimator(**est_kw, name="vmi_estimator_f_t")
+        self.vmi_estimator_f_a = VMIEstimator(**est_kw, name="vmi_estimator_f_a")
+        self.vmi_estimator_f_v = VMIEstimator(**est_kw, name="vmi_estimator_f_v")
+        # Invariant information: I(T;A) + I(T;V) (ref: Model.py:294-295)
+        self.vmi_estimator_t_a = VMIEstimator(**est_kw, name="vmi_estimator_t_a")
+        self.vmi_estimator_t_v = VMIEstimator(**est_kw, name="vmi_estimator_t_v")
+        # Conditional-MI classifiers (ref: Model.py:298-303)
+        cmi_kw = dict(embed_dim=EST_EMBED_DIM, hidden_dim=EST_HIDDEN_DIM,
+                      activation=EST_ACTIVATION,
+                      last_activate=self.cmi_last_acticate)
+        self.vcmi_estimator_ac_t = VCMIEstimator(**cmi_kw, name="vcmi_estimator_ac_t")
+        self.vcmi_estimator_ta_c = VCMIEstimator(**cmi_kw, name="vcmi_estimator_ta_c")
+        self.vcmi_estimator_vc_t = VCMIEstimator(**cmi_kw, name="vcmi_estimator_vc_t")
+        self.vcmi_estimator_tv_c = VCMIEstimator(**cmi_kw, name="vcmi_estimator_tv_c")
+        self.vcmi_estimator_tc_a = VCMIEstimator(**cmi_kw, name="vcmi_estimator_tc_a")
+        self.vcmi_estimator_tc_v = VCMIEstimator(**cmi_kw, name="vcmi_estimator_tc_v")
+
+    # ------------------------------------------------------------------ #
+    # Forward (ref: Model.py:388-519)
+    # ------------------------------------------------------------------ #
+    def __call__(
+        self,
+        bert_sentences: Array,       # [bs, T] int32 token ids
+        bert_sentence_types: Array,  # [bs, T] int32
+        bert_sentence_att_mask: Array,  # [bs, T] int32 (1 = valid)
+        a: Array,                    # [bs, T, d_a]
+        v: Array,                    # [bs, T, d_v]
+        deterministic: bool = True,
+        return_features: bool = True,
+    ):
+        T = self.time_len
+        # BERT last_hidden_state -> common projection
+        t = self.bertmodel(bert_sentences, bert_sentence_types,
+                           bert_sentence_att_mask, deterministic=deterministic)
+        t = self.W_t(t)
+
+        # lengths from non-zero rows, clamped to >=1 (ref: Model.py:425-432)
+        lengths_a = lengths_from_sequence(a)
+        lengths_v = lengths_from_sequence(v)
+        mask_a = prefix_mask(lengths_a, a.shape[1])
+        mask_v = prefix_mask(lengths_v, v.shape[1])
+
+        if self.encoders == "conv":
+            a = self.conv_a(a)
+            v = self.conv_v(v)
+            a = jax.nn.relu(self.ln_a(a))
+            v = jax.nn.relu(self.ln_v(v))
+        else:
+            a = self.rnn_a(a, mask_a)
+            v = self.rnn_v(v, mask_v)
+            a = jax.nn.relu(self.ln_a(a))
+            v = jax.nn.relu(self.ln_v(v))
+
+        t = self.dropout_t(t, deterministic=deterministic)
+        a = self.dropout_a(a, deterministic=deterministic)
+        v = self.dropout_v(v, deterministic=deterministic)
+
+        # summary features = time-mean (ref: Model.py:466)
+        T_F = jnp.mean(t, axis=1)
+        A_F = jnp.mean(a, axis=1)
+        V_F = jnp.mean(v, axis=1)
+
+        # pad/truncate temporal axis to time_len and stack modalities
+        # (ref: Model.py:468-475); inputs are already static time_len here.
+        t = _fit_time(t, T)
+        a = _fit_time(a, T)
+        v = _fit_time(v, T)
+        x = jnp.stack([t, a, v], axis=2)  # [bs, T, 3, d_common]
+
+        x = self.mlp_encoder(x, mask=None, deterministic=deterministic)
+
+        # Compose over k then t (ref: Model.py:489-507)
+        if self.features_compose_k == "mean":
+            fused = jnp.mean(x, axis=2)
+        elif self.features_compose_k == "sum":
+            fused = jnp.sum(x, axis=2)
+        else:  # cat
+            fused = jnp.concatenate(
+                [x[:, :, i, :] for i in range(x.shape[2])], axis=-1)
+
+        if self.features_compose_t == "mean":
+            fused = jnp.mean(fused, axis=1)
+        elif self.features_compose_t == "sum":
+            fused = jnp.sum(fused, axis=1)
+        else:  # cat
+            fused = jnp.concatenate(
+                [fused[:, i, :] for i in range(fused.shape[1])], axis=-1)
+
+        F_F = fused  # features.unsqueeze(1).mean(1) == fused (ref: Model.py:507-511)
+
+        # Classifier (ref: Model.py:269-281, :515)
+        if self._classify_dim <= 128:
+            output = self.classifier(fused)
+        else:
+            h = jax.nn.relu(self.classifier_hidden(fused))
+            h = self.classifier_dropout(h, deterministic=deterministic)
+            output = self.classifier(h)
+
+        if return_features:
+            return output, F_F, T_F, A_F, V_F
+        return (output,)
+
+    # ------------------------------------------------------------------ #
+    # Stage losses (ref: Model.py:305-386)
+    # ------------------------------------------------------------------ #
+    def _tiled_labels(self, labels: Array) -> Array:
+        return jnp.tile(labels.reshape(-1, 1), (1, self.d_common))
+
+    def _all_estimates(self, labels, F_F, T_F, A_F, V_F, knn: Dict):
+        """Shared 5 MI + 6 CMI computation; knn maps CMI_KEYS to
+        (x, y, z) conditional-product sample triples."""
+        labels = self._tiled_labels(labels)
+        mi_f_t, l_f_t = self.vmi_estimator_f_t(F_F, T_F)
+        mi_f_a, l_f_a = self.vmi_estimator_f_a(F_F, A_F)
+        mi_f_v, l_f_v = self.vmi_estimator_f_v(F_F, V_F)
+        mi_t_a, l_t_a = self.vmi_estimator_t_a(T_F, A_F)
+        mi_t_v, l_t_v = self.vmi_estimator_t_v(T_F, V_F)
+
+        cmi_ac_t, cl_ac_t = self.vcmi_estimator_ac_t(A_F, labels, T_F, *knn["ac_t"])
+        cmi_ta_c, cl_ta_c = self.vcmi_estimator_ta_c(T_F, A_F, labels, *knn["ta_c"])
+        cmi_vc_t, cl_vc_t = self.vcmi_estimator_vc_t(V_F, labels, T_F, *knn["vc_t"])
+        cmi_tv_c, cl_tv_c = self.vcmi_estimator_tv_c(T_F, V_F, labels, *knn["tv_c"])
+        cmi_tc_a, cl_tc_a = self.vcmi_estimator_tc_a(T_F, labels, A_F, *knn["tc_a"])
+        cmi_tc_v, cl_tc_v = self.vcmi_estimator_tc_v(T_F, labels, V_F, *knn["tc_v"])
+
+        mis = dict(
+            f_t=mi_f_t, f_a=mi_f_a, f_v=mi_f_v, t_a=mi_t_a, t_v=mi_t_v,
+            ac_t=cmi_ac_t, ta_c=cmi_ta_c, vc_t=cmi_vc_t, tv_c=cmi_tv_c,
+            tc_a=cmi_tc_a, tc_v=cmi_tc_v,
+        )
+        losses = dict(
+            f_t=l_f_t, f_a=l_f_a, f_v=l_f_v, t_a=l_t_a, t_v=l_t_v,
+            ac_t=cl_ac_t, ta_c=cl_ta_c, vc_t=cl_vc_t, tv_c=cl_tv_c,
+            tc_a=cl_tc_a, tc_v=cl_tc_v,
+        )
+        return mis, losses
+
+    def compute_vmi_loss_stage1(self, labels, F_F, T_F, A_F, V_F, knn):
+        """11 (mi, mi_loss) pairs for critic training
+        (ref: Model.py:305-341)."""
+        m, l = self._all_estimates(labels, F_F, T_F, A_F, V_F, knn)
+        order = ("f_t", "f_a", "f_v", "t_a", "t_v",
+                 "ac_t", "ta_c", "vc_t", "tv_c", "tc_a", "tc_v")
+        return [m[k] for k in order], [l[k] for k in order]
+
+    def compute_vmi_loss_stage2(self, labels, F_F, T_F, A_F, V_F, knn):
+        """8 derived (mi, mi_loss) pairs for main-model training
+        (ref: Model.py:343-386)."""
+        m, l = self._all_estimates(labels, F_F, T_F, A_F, V_F, knn)
+        mi_inv = m["t_a"] + m["t_v"]
+        mi_spec_t = m["tc_a"] + m["tc_v"] - m["ta_c"] - m["tv_c"]
+        mi_spec_a = m["ac_t"] - m["ta_c"]
+        mi_spec_v = m["vc_t"] - m["tv_c"]
+        mi_comp = m["ta_c"] + m["tv_c"]
+        mis = [m["f_t"], m["f_a"], m["f_v"], mi_inv,
+               mi_spec_t, mi_spec_a, mi_spec_v, mi_comp]
+        losses = [l["f_t"], l["f_a"], l["f_v"], -mi_inv,
+                  -mi_spec_t, -mi_spec_a, -mi_spec_v, -mi_comp]
+        return mis, losses
+
+
+def _fit_time(x: Array, T: int) -> Array:
+    """Pad (zeros) or truncate axis 1 to length T (ref: Model.py:468-470)."""
+    cur = x.shape[1]
+    if cur == T:
+        return x
+    if cur > T:
+        return x[:, :T]
+    return jnp.pad(x, ((0, 0), (0, T - cur), (0, 0)))
+
+
+def apply_orthogonal_whh(params, key):
+    """Orthogonal re-init of every recurrent `w_hh` kernel
+    (ref: Customization.py:18-21)."""
+    flat = jax.tree_util.tree_flatten_with_path(params)
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    paths = [p for p, _ in flat[0]]
+    new_leaves = []
+    keys = jax.random.split(key, len(leaves))
+    ortho = nn.initializers.orthogonal()
+    for path, leaf, k in zip(paths, leaves, keys):
+        name = "/".join(str(getattr(p, "key", p)) for p in path)
+        if "w_hh" in name:
+            new_leaves.append(ortho(k, leaf.shape, leaf.dtype))
+        else:
+            new_leaves.append(leaf)
+    return jax.tree_util.tree_unflatten(treedef, new_leaves)

@@ -1,0 +1,3 @@
+from mimrl_tpu.parallel.mesh import make_mesh, data_sharding, replicated_sharding
+
+__all__ = ["make_mesh", "data_sharding", "replicated_sharding"]
