@@ -1,0 +1,62 @@
+"""Logging + scalar telemetry.
+
+- `set_logger` / `log_message`: file + stdout logging
+  (ref: Utils.py:52-67).
+- `ScalarWriter`: TensorBoard-compatible scalar sink. Uses
+  torch.utils.tensorboard when the tensorboard package is importable
+  (same channels as ref: Solver.py:467-507) and always writes a JSONL
+  mirror (`scalars.jsonl`) so telemetry survives without TB.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+from typing import Optional
+
+
+def set_logger(log_path: str) -> None:
+    logger = logging.getLogger()
+    logger.setLevel(logging.DEBUG)
+    if not logger.handlers:
+        file_handler = logging.FileHandler(log_path)
+        file_handler.setFormatter(
+            logging.Formatter("%(asctime)s:%(levelname)s: %(message)s"))
+        logger.addHandler(file_handler)
+        stream_handler = logging.StreamHandler()
+        stream_handler.setFormatter(logging.Formatter("%(message)s"))
+        logger.addHandler(stream_handler)
+
+
+def log_message(message: str) -> None:
+    logging.log(msg=message, level=logging.DEBUG)
+
+
+class ScalarWriter:
+    def __init__(self, log_dir: str):
+        os.makedirs(log_dir, exist_ok=True)
+        self._jsonl = open(os.path.join(log_dir, "scalars.jsonl"), "a")
+        self._tb = None
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+
+            self._tb = SummaryWriter(log_dir)
+        except Exception:
+            self._tb = None
+
+    def add_scalar(self, tag: str, value: float, step: int) -> None:
+        self._jsonl.write(json.dumps(
+            {"tag": tag, "value": float(value), "step": int(step)}) + "\n")
+        if self._tb is not None:
+            self._tb.add_scalar(tag, value, step)
+
+    def flush(self) -> None:
+        self._jsonl.flush()
+        if self._tb is not None:
+            self._tb.flush()
+
+    def close(self) -> None:
+        self._jsonl.close()
+        if self._tb is not None:
+            self._tb.close()

@@ -42,7 +42,12 @@ _AXIS_EQNS = {
 
 class AxisMLP(nn.Module):
     """2-layer MLP over one axis of a [bs, l, k, d] tensor
-    (ref: MLPProcess.py:9-21 applied through permutes at :64-122)."""
+    (ref: MLPProcess.py:9-21 applied through permutes at :64-122).
+
+    With ``use_pallas`` the two contractions run in the fused Pallas
+    kernel (mimrl_tpu.ops.pallas.cubemlp_kernel) — same params, same
+    math, hidden tensor pinned in VMEM. Interpret mode is selected
+    automatically off-TPU so tests stay hermetic."""
 
     axis: int  # 1 = L, 2 = K, 3 = D
     d_in: int
@@ -50,6 +55,7 @@ class AxisMLP(nn.Module):
     d_out: int
     activate: str
     use_bias: bool
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
@@ -63,16 +69,26 @@ class AxisMLP(nn.Module):
             "w2", nn.initializers.lecun_normal(), (self.d_hidden, self.d_out),
             jnp.float32,
         )
-        h = jnp.einsum(eqn, x, w1, preferred_element_type=jnp.float32)
+        b1 = b2 = None
         if self.use_bias:
             b1 = self.param("b1", nn.initializers.zeros, (self.d_hidden,),
                             jnp.float32)
+            b2 = self.param("b2", nn.initializers.zeros, (self.d_out,),
+                            jnp.float32)
+
+        if self.use_pallas:
+            from mimrl_tpu.ops.pallas.cubemlp_kernel import fused_axis_mlp
+
+            interpret = jax.devices()[0].platform == "cpu"
+            return fused_axis_mlp(x, w1, w2, b1, b2, self.axis,
+                                  self.activate, interpret=interpret)
+
+        h = jnp.einsum(eqn, x, w1, preferred_element_type=jnp.float32)
+        if self.use_bias:
             h = h + _axis_bias(b1, self.axis)
         h = act(h)
         out = jnp.einsum(eqn, h, w2, preferred_element_type=jnp.float32)
         if self.use_bias:
-            b2 = self.param("b2", nn.initializers.zeros, (self.d_out,),
-                            jnp.float32)
             out = out + _axis_bias(b2, self.axis)
         return out
 
@@ -153,6 +169,7 @@ class MLPsBlock(nn.Module):
     use_bias: bool
     ln_first: bool = False
     res_project: bool = False
+    use_pallas: bool = False
 
     def setup(self):
         if not self.res_project:
@@ -164,7 +181,8 @@ class MLPsBlock(nn.Module):
         axes = (1, 2, 3)
         self.mlps = [
             AxisMLP(axes[i], self.d_ins[i], self.d_hiddens[i], self.d_outs[i],
-                    self.activate, self.use_bias, name=f"mlp_{'lkd'[i]}")
+                    self.activate, self.use_bias, self.use_pallas,
+                    name=f"mlp_{'lkd'[i]}")
             for i in range(3)
         ]
         ln_dims = self.d_ins if self.ln_first else self.d_outs
@@ -230,6 +248,7 @@ class MLPEncoder(nn.Module):
     use_bias: bool
     ln_first: bool = False
     res_project: Sequence[bool] = (False, False, True)
+    use_pallas: bool = False
 
     def setup(self):
         assert len(self.d_hiddens) == len(self.d_outs) == len(self.res_project)
@@ -243,6 +262,7 @@ class MLPEncoder(nn.Module):
                 use_bias=self.use_bias,
                 ln_first=self.ln_first,
                 res_project=self.res_project[i],
+                use_pallas=self.use_pallas,
                 name=f"block_{i}",
             )
             for i in range(len(self.d_hiddens))

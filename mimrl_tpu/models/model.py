@@ -96,6 +96,7 @@ class MimrlModel(nn.Module):
     k_neighbor: int = 2
     radius: float = 1.0
     cmi_last_acticate: str = "sigmoid"
+    use_pallas: bool = False
     # BERT
     bert_config: BertConfig = BertConfig()
 
@@ -134,6 +135,7 @@ class MimrlModel(nn.Module):
             use_bias=self.bias,
             ln_first=self.ln_first,
             res_project=self.res_project,
+            use_pallas=self.use_pallas,
             name="mlp_encoder",
         )
 

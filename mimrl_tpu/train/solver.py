@@ -1,0 +1,478 @@
+"""Training driver: the two-stage epoch loop, evaluation, model
+selection, checkpointing, logging.
+
+Orchestration parity with the reference Solver (ref: Solver.py:18-531):
+same epoch structure, label routing, score routing, dual best-model
+tracking, epoch log line and telemetry channels — but the host loop only
+feeds batches and reads scalars; every numeric step is one of the three
+compiled programs in `mimrl_tpu.train.steps`.
+
+TPU-native additions over the reference:
+- real resume (`--resume <task_dir>`): the reference's latest_model_path
+  is never written (ref: Solver.py:111); here it is, every epoch.
+- data parallelism via a jax.sharding mesh instead of DataParallel, with
+  the MI critics seeing the *global* batch (see parallel/mesh.py).
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+import time
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mimrl_tpu.core.checkpoint import CheckpointManager
+from mimrl_tpu.core.config import MimrlConfig
+from mimrl_tpu.core.logging import ScalarWriter, log_message, set_logger
+from mimrl_tpu.data.tokenizer import build_tokenizer
+from mimrl_tpu.data.universal import get_data_loader
+from mimrl_tpu.eval.metrics import current_result_better, get_score_from_result
+from mimrl_tpu.models.bert import BertConfig, load_bert_weights
+from mimrl_tpu.models.model import MimrlModel, apply_orthogonal_whh
+from mimrl_tpu.parallel.mesh import make_mesh, shard_batch, shard_params
+from mimrl_tpu.train.optim import (
+    LRScheduler,
+    make_main_optimizer,
+    make_vmi_optimizer,
+    merge_params,
+    partition_params,
+    set_learning_rate,
+)
+from mimrl_tpu.train.steps import FeatureBank, StepFactory
+
+MI_NAMES = ("ft", "fa", "fv", "in", "spec_t", "spec_a", "spec_v", "comp")
+
+
+class Solver:
+    def __init__(self, opt: MimrlConfig):
+        self.opt = opt
+        (self.task_path, self.writer, self.ckpt) = self.prepare_checkpoint_log()
+        log_message(str(opt))
+        log_message("Making logger and dataset...")
+
+        self.tokenizer = build_tokenizer(opt.bert_vocab)
+        (self.train_loader, self.valid_loader, self.test_loader,
+         self.d_t, self.d_a, self.d_v) = get_data_loader(opt, self.tokenizer)
+
+        log_message("Making model and optimizer...")
+        bert_cfg = BertConfig(
+            vocab_size=max(self.tokenizer.vocab_size, 64),
+            hidden_size=opt.bert_hidden,
+            num_hidden_layers=opt.bert_layers,
+            num_attention_heads=opt.bert_heads,
+            intermediate_size=opt.bert_hidden * 4,
+            max_position_embeddings=max(512, opt.time_len),
+        )
+        self.model = MimrlModel(
+            d_t=self.d_t, d_a=self.d_a, d_v=self.d_v, d_common=opt.d_common,
+            encoders=opt.encoders,
+            features_compose_t=opt.features_compose_t,
+            features_compose_k=opt.features_compose_k,
+            num_class=opt.num_class, activate=opt.activate,
+            time_len=opt.time_len,
+            d_hiddens=tuple(map(tuple, opt.d_hiddens)),
+            d_outs=tuple(map(tuple, opt.d_outs)),
+            dropout_mlp=tuple(opt.dropout_mlp), dropout=tuple(opt.dropout),
+            bias=opt.bias, ln_first=opt.ln_first,
+            res_project=tuple(opt.res_project),
+            critic_type=opt.critic_type, baseline_type=opt.baseline_type,
+            bound_type=opt.bound_type, k_neighbor=opt.k_neighbor,
+            radius=opt.radius, cmi_last_acticate=opt.cmi_last_acticate,
+            use_pallas=opt.use_pallas,
+            bert_config=bert_cfg,
+        )
+
+        # init params
+        self.root_rng = jax.random.PRNGKey(opt.seed)
+        init_rng, ortho_rng, self.loop_rng = jax.random.split(self.root_rng, 3)
+        dummy = self._dummy_batch()
+        variables = self.model.init(
+            {"params": init_rng}, dummy["bert_sentences"],
+            dummy["bert_sentence_types"], dummy["bert_sentence_att_mask"],
+            dummy["audio"], dummy["video"], deterministic=True)
+        params = variables["params"]
+        # orthogonal recurrent kernels (ref: Customization.py:18-21)
+        params = apply_orthogonal_whh(params, ortho_rng)
+        if opt.bert_weights:
+            loaded = load_bert_weights(opt.bert_weights, bert_cfg)
+            params = dict(params)
+            params["bertmodel"] = loaded["params"]
+            log_message(f"Loaded BERT weights from {opt.bert_weights}")
+        self.params_main, self.params_bert, self.params_vmi = (
+            partition_params(params))
+        if opt.print_params:
+            for name in sorted(params.keys()):
+                log_message("\t" + name)
+
+        # optimizers + schedules (dual, ref: Solver.py:119-170)
+        self.opt_main = make_main_optimizer(opt, self.params_main,
+                                            self.params_bert)
+        self.opt_vmi = make_vmi_optimizer(opt)
+        self.opt_main_state = self.opt_main.init(
+            merge_params(self.params_main, self.params_bert))
+        self.opt_vmi_state = self.opt_vmi.init(self.params_vmi)
+        self.lr_schedule = LRScheduler(opt)
+        self.base_lr_main = opt.learning_rate
+        self.base_lr_vmi = opt.learning_rate * opt.mi_lr_rate
+
+        # mesh / sharding ("--parallel" is implicit: shard when >1 device)
+        n_dev = len(jax.devices())
+        if opt.mesh_data != 1 and n_dev > 1:
+            self.mesh = make_mesh(opt.mesh_data, opt.mesh_model)
+            self.params_main = shard_params(self.mesh, self.params_main)
+            self.params_bert = shard_params(self.mesh, self.params_bert)
+            self.params_vmi = shard_params(self.mesh, self.params_vmi)
+        else:
+            self.mesh = None
+
+        self.steps = StepFactory(self.model, opt, self.opt_main, self.opt_vmi)
+
+        # feature banks: capacity = one row per train-step sample
+        self.n_bank = len(self.train_loader) * opt.batch_size
+        n_valid = min(self.train_loader.num_samples, self.n_bank)
+        self.bank = FeatureBank.create(self.n_bank, n_valid, opt.d_common)
+        self.have_bank = False  # epoch-0 semantics (ref: Customization.py:97)
+
+        self.start_epoch = 0
+        self.global_step = 0
+        if opt.resume:
+            self._resume(opt.resume)
+
+    # ------------------------------------------------------------------ #
+    def _dummy_batch(self) -> Dict[str, np.ndarray]:
+        bs, T = self.opt.batch_size, self.opt.time_len
+        return {
+            "bert_sentences": np.zeros((bs, T), np.int32),
+            "bert_sentence_types": np.zeros((bs, T), np.int32),
+            "bert_sentence_att_mask": np.ones((bs, T), np.int32),
+            "audio": np.zeros((bs, T, self.d_a), np.float32),
+            "video": np.zeros((bs, T, self.d_v), np.float32),
+        }
+
+    def prepare_checkpoint_log(self):
+        task_path = os.path.join(self.opt.task_dir, self.opt.task_name)
+        os.makedirs(task_path, exist_ok=True)
+        set_logger(os.path.join(task_path, "Running.log"))
+        writer = ScalarWriter(task_path)
+        ckpt = CheckpointManager(task_path)
+        ckpt.save_config(self.opt.to_json())
+        return task_path, writer, ckpt
+
+    # ------------------------------------------------------------------ #
+    def get_label_from_datas(self, batch: Dict) -> np.ndarray:
+        """Per-dataset label routing (ref: Solver.py:272-315)."""
+        opt = self.opt
+        labels = batch["labels"]
+        if opt.dataset in ("mosi_Dec", "mosei_Dec"):
+            return labels[0]
+        if opt.dataset in ("mosi_SDK", "mosei_SDK", "mosi_20", "mosi_50",
+                           "mosei_20", "mosei_50"):
+            if opt.task == "regression":
+                return labels[0]
+            if opt.task == "classification" and opt.num_class == 2:
+                return labels[1]
+            if opt.task == "classification" and opt.num_class == 7:
+                return labels[2]
+            raise NotImplementedError
+        if opt.dataset == "pom_SDK":
+            return labels[0][:, 0] if opt.task == "regression" else labels[1]
+        if opt.dataset in ("youtube", "youtubev2", "moud", "iemocap_20"):
+            return labels[0]
+        if opt.dataset in ("mmmo", "mmmov2"):
+            return labels[0] if opt.task == "regression" else labels[1]
+        if opt.dataset == "pom":
+            return labels[0][:, -3] if opt.task == "regression" else labels[1]
+        if opt.dataset == "avec2019":
+            return labels[0]
+        raise NotImplementedError(opt.dataset)
+
+    def _prep(self, batch: Dict):
+        """Host->device batch prep (+ optional mesh sharding)."""
+        labels = np.asarray(self.get_label_from_datas(batch))
+        if self.opt.task == "classification":
+            labels_dev = labels.astype(np.int32)
+        else:
+            labels_dev = labels.astype(np.float32)
+        model_batch = {k: batch[k] for k in (
+            "bert_sentences", "bert_sentence_types", "bert_sentence_att_mask",
+            "audio", "video", "sample_mask") if k in batch}
+        if "bert_sentences" not in model_batch:
+            raise NotImplementedError(
+                "feature-mode text inputs reach a dead path in the reference "
+                "(Customization.py:86 references undefined opt.mask); this "
+                "framework likewise requires --text text for model runs")
+        if self.mesh is not None:
+            model_batch = shard_batch(self.mesh, model_batch)
+            labels_dev = shard_batch(self.mesh, labels_dev)
+        return model_batch, labels_dev, labels
+
+    def _next_rng(self):
+        self.global_step += 1
+        return jax.random.fold_in(self.loop_rng, self.global_step)
+
+    # ------------------------------------------------------------------ #
+    def train(self, epoch: int):
+        """One epoch: stage 1 (critics) x stage1_n, then stage 2 (main)
+        (ref: Solver.py:194-248)."""
+        opt = self.opt
+        running_loss, running_loss_mi = 0.0, 0.0
+        mis_sum = np.zeros(8)
+        predictions: List[np.ndarray] = []
+        targets: List[np.ndarray] = []
+
+        # Stage 1 (skipped at epoch 0, ref: Solver.py:201-203)
+        if epoch > 0 and self.have_bank:
+            for _ in range(opt.stage1_n):
+                mi_losses = []
+                for batch in self.train_loader:
+                    model_batch, labels_dev, _ = self._prep(batch)
+                    (self.params_vmi, self.opt_vmi_state, loss, _mis) = (
+                        self.steps.critic_step(
+                            self.params_main, self.params_bert,
+                            self.params_vmi, self.opt_vmi_state, model_batch,
+                            labels_dev, self.bank, self._next_rng()))
+                    mi_losses.append(loss)
+                running_loss_mi += float(np.sum([float(l) for l in mi_losses]))
+
+        # Stage 2
+        use_mi = self.have_bank
+        new_bank = FeatureBank.create(
+            self.n_bank, min(self.train_loader.num_samples, self.n_bank),
+            opt.d_common)
+        offset = 0
+        step_losses, step_mis = [], []
+        for batch in self.train_loader:
+            model_batch, labels_dev, labels_np = self._prep(batch)
+            (self.params_main, self.params_bert, self.opt_main_state, loss,
+             mis, out, new_bank) = self.steps.train_step(
+                self.params_main, self.params_bert, self.params_vmi,
+                self.opt_main_state, model_batch, labels_dev, self.bank,
+                new_bank, offset, self._next_rng(), use_mi=use_mi)
+            step_losses.append(loss)
+            step_mis.append(mis)
+            mask = batch["sample_mask"] > 0.5
+            predictions.append(np.asarray(out)[mask])
+            targets.append(labels_np[mask])
+            offset += opt.batch_size
+
+        n = len(self.train_loader)
+        running_loss = float(np.sum([float(l) for l in step_losses]))
+        mis_sum = np.sum([np.asarray(m) for m in step_mis], axis=0)
+
+        self.bank = new_bank
+        self.have_bank = True
+        predictions = np.concatenate(predictions)
+        targets = np.concatenate(targets)
+        train_score = get_score_from_result(
+            predictions, targets, opt.dataset, opt.task, opt.num_class)
+        return (running_loss / n, running_loss_mi / n,
+                (mis_sum / n).tolist(), train_score)
+
+    def evaluate(self, loader):
+        """No-grad eval pass (ref: Solver.py:250-270)."""
+        opt = self.opt
+        use_mi = self.have_bank
+        losses, mis_list = [], []
+        predictions, targets, features = [], [], []
+        for batch in loader:
+            model_batch, labels_dev, labels_np = self._prep(batch)
+            loss, mis, out, feats = self.steps.eval_step(
+                self.params_main, self.params_bert, self.params_vmi,
+                model_batch, labels_dev, self.bank, self._next_rng(),
+                use_mi=use_mi)
+            losses.append(loss)
+            mis_list.append(mis)
+            mask = batch["sample_mask"] > 0.5
+            predictions.append(np.asarray(out)[mask])
+            targets.append(labels_np[mask])
+            if opt.save_best_features:
+                features.append([np.asarray(f)[mask] for f in feats])
+
+        n = len(loader)
+        predictions = np.concatenate(predictions)
+        targets = np.concatenate(targets)
+        score = get_score_from_result(predictions, targets, opt.dataset,
+                                      opt.task, opt.num_class)
+        avg_loss = float(np.sum([float(l) for l in losses])) / n
+        avg_mis = (np.sum([np.asarray(m) for m in mis_list], axis=0) / n
+                   ).tolist()
+        return (avg_loss, avg_mis, score, predictions, targets,
+                features if opt.save_best_features else None)
+
+    # ------------------------------------------------------------------ #
+    def _state_dict(self, epoch: int):
+        return {
+            "epoch": epoch,
+            "params_main": self.params_main,
+            "params_bert": self.params_bert,
+            "params_vmi": self.params_vmi,
+            "opt_main_state": self.opt_main_state,
+            "opt_vmi_state": self.opt_vmi_state,
+            "bank": self.bank,
+            "lr_factor": self.lr_schedule.factor,
+            "global_step": self.global_step,
+        }
+
+    def _resume(self, resume_dir: str):
+        mgr = CheckpointManager(resume_dir)
+        template = self._state_dict(0)
+        state = mgr.restore("latest", template)
+        if state is None:
+            log_message(f"No latest checkpoint in {resume_dir}; fresh start")
+            return
+        self.params_main = state["params_main"]
+        self.params_bert = state["params_bert"]
+        self.params_vmi = state["params_vmi"]
+        self.opt_main_state = state["opt_main_state"]
+        self.opt_vmi_state = state["opt_vmi_state"]
+        self.bank = state["bank"]
+        self.lr_schedule.factor = float(state["lr_factor"])
+        self.global_step = int(state["global_step"])
+        self.start_epoch = int(state["epoch"]) + 1
+        self.have_bank = self.start_epoch > 0
+        log_message(f"Resumed from {resume_dir} at epoch {self.start_epoch}")
+
+    # ------------------------------------------------------------------ #
+    def solve(self):
+        log_message("Start training...")
+        opt = self.opt
+        best_score = [None, None, None]  # valid, test, test-at-best-valid
+        best_predictions = [None, None, None]
+        best_features = [None, None, None]
+        best_targets = [None, None]
+        best_valid_state, best_test_state = None, None
+
+        for epoch in range(self.start_epoch, opt.epochs_num):
+            t0 = time.time()
+            train_loss, train_loss_mi, train_mis, train_score = self.train(epoch)
+            (val_loss, val_mis, val_score, val_predictions, val_targets,
+             val_features) = self.evaluate(self.valid_loader)
+            (test_loss, test_mis, test_score, test_predictions, test_targets,
+             test_features) = self.evaluate(self.test_loader)
+
+            # LR schedule (applied to BOTH optimizers, ref: Solver.py:52-57)
+            factor = self.lr_schedule.step(val_loss)
+            self.opt_main_state = set_learning_rate(
+                self.opt_main_state, self.base_lr_main * factor)
+            self.opt_vmi_state = set_learning_rate(
+                self.opt_vmi_state, self.base_lr_vmi * factor)
+
+            # Best-model tracking (ref: Solver.py:59-93)
+            if current_result_better(best_score[0], val_score, opt.task,
+                                     opt.num_class, opt.dataset):
+                log_message("Better valid score found...")
+                best_valid_state = self._state_dict(epoch)
+                best_score[0], best_predictions[0], best_features[0] = (
+                    val_score, val_predictions, val_features)
+                best_score[2], best_predictions[2], best_features[2] = (
+                    test_score, test_predictions, test_features)
+                best_targets[0] = val_targets
+            if current_result_better(best_score[1], test_score, opt.task,
+                                     opt.num_class, opt.dataset):
+                log_message("Better test score found...")
+                best_test_state = self._state_dict(epoch)
+                best_score[1], best_predictions[1], best_features[1] = (
+                    test_score, test_predictions, test_features)
+                best_targets[1] = test_targets
+
+            dt = time.time() - t0
+            sps = self.train_loader.num_samples / max(dt, 1e-9)
+            msg = self.build_message(epoch, train_loss, train_mis, train_score,
+                                     val_loss, val_mis, val_score, test_loss,
+                                     test_mis, test_score)
+            log_message(msg + f" || {dt:.1f}s {sps:.1f} samples/s")
+            self.log_tf_board(epoch, train_loss, train_mis, train_score,
+                              val_loss, val_mis, val_score, test_loss,
+                              test_mis, test_score)
+            self.ckpt.save("latest", self._state_dict(epoch))
+
+        log_message("Training complete.")
+        self.writer.close()
+        if best_score[0] is not None:
+            self.log_best_scores(best_score)
+        self.save_results(best_predictions, best_targets, best_features,
+                          best_valid_state, best_test_state)
+        return best_score
+
+    # ------------------------------------------------------------------ #
+    def build_message(self, epoch, train_loss, train_mis, train_score,
+                      val_loss, val_mis, val_score, test_loss, test_mis,
+                      test_score) -> str:
+        """Epoch summary line (ref: Solver.py:438-459)."""
+
+        def block(tag, loss, mis, score):
+            s = f" {tag}Loss:[{loss:.3f}]"
+            s += (" " + tag + "MI_ft/fa/fv/in/st/sa/sv/cp:[" +
+                  "/".join(f"{m:.3f}" for m in mis) + "]")
+            for key in score:
+                s += f" {tag}_{key}:[{score[key]:6.3f}]"
+            return s
+
+        msg = f"Epoch:[{epoch + 1:3.0f}] ||"
+        msg += block("Train", train_loss, train_mis, train_score)
+        msg += " ||" + block("Val", val_loss, val_mis, val_score)
+        msg += " ||" + block("Test", test_loss, test_mis, test_score)
+        return msg
+
+    def build_single_message(self, score, mode):
+        msg = mode
+        for key in score:
+            msg += f" {key}:[{score[key]:6.3f}]"
+        return msg
+
+    def log_tf_board(self, epoch, train_loss, train_mis, train_score,
+                     val_loss, val_mis, val_score, test_loss, test_mis,
+                     test_score):
+        """Same channel names as ref: Solver.py:467-507."""
+        for tag, loss, mis, score in (
+            ("Train", train_loss, train_mis, train_score),
+            ("Val", val_loss, val_mis, val_score),
+            ("Test", test_loss, test_mis, test_score),
+        ):
+            self.writer.add_scalar(f"{tag}/Loss", loss, epoch)
+            for name, value in zip(
+                    ("MI_ft", "MI_fa", "MI_fv", "MI_in", "MI_spec_t",
+                     "MI_spec_a", "MI_spec_v", "MI_comp"), mis):
+                self.writer.add_scalar(f"{tag}/{name}", value, epoch)
+            for key in score:
+                self.writer.add_scalar(f"{tag}/{key}", score[key], epoch)
+        self.writer.add_scalar(
+            "Lr", self.base_lr_main * self.lr_schedule.factor, epoch)
+        self.writer.flush()
+
+    def log_best_scores(self, best_score):
+        log_message(self.build_single_message(best_score[0],
+                                              "Best Valid Score \t\t"))
+        log_message(self.build_single_message(best_score[2],
+                                              "Test Score at Best Valid \t"))
+        log_message(self.build_single_message(best_score[1],
+                                              "Best Test Score \t\t"))
+
+    def save_results(self, best_predictions, best_targets, best_features,
+                     best_valid_state, best_test_state):
+        """(ref: Solver.py:514-531)"""
+        np.save(os.path.join(self.task_path, "predictions_val.npy"),
+                best_predictions[0])
+        np.save(os.path.join(self.task_path, "predictions_test.npy"),
+                best_predictions[1])
+        np.save(os.path.join(self.task_path, "predictions_test_for_valid.npy"),
+                best_predictions[2])
+        np.save(os.path.join(self.task_path, "targets_val.npy"),
+                best_targets[0])
+        np.save(os.path.join(self.task_path, "targets_test.npy"),
+                best_targets[1])
+        if self.opt.save_best_features:
+            for name, feats in (("features_val", best_features[0]),
+                                ("features_test", best_features[1]),
+                                ("features_test_for_valid", best_features[2])):
+                with open(os.path.join(self.task_path, f"{name}.pkl"),
+                          "wb") as f:
+                    pickle.dump(feats, f)
+        if best_valid_state is not None:
+            self.ckpt.save("best_valid", best_valid_state)
+        if best_test_state is not None:
+            self.ckpt.save("best_test", best_test_state)

@@ -1,0 +1,227 @@
+"""The two-stage training loop as jitted steps.
+
+TPU re-design of the reference's epoch body (ref: Solver.py:194-248):
+the whole per-batch pipeline — forward, 6 on-device kNN product samples,
+11 critic/classifier losses, gradients, optimizer update, feature-bank
+write — is ONE compiled XLA program per stage. There are exactly three
+compiled programs (critic_step, train_step, eval_step) and they are
+reused every epoch (static shapes), so the host does nothing but feed
+batches and read scalars.
+
+Parity map:
+- `critic_step`  = stage 1 inner loop body (Solver.py:204-216): updates
+  only the vmi/vcmi parameter group.
+- `train_step`   = stage 2 body (Solver.py:220-242): updates main+bert,
+  with `task_loss + sum(coef2 * mi_loss)` (Customization.py:104-113).
+- epoch-0 semantics (empty banks): stage 1 is skipped entirely and stage
+  2 runs with `use_mi=False`, yielding task_loss only with zeroed MI
+  telemetry (ref: Solver.py:201-203, Customization.py:97-98, :105-106).
+- feature banks are epoch-stale: stage 2 writes NEW banks consumed next
+  epoch (ref: Solver.py:219-244).
+
+The gradient partition exploits XLA DCE: stage 1 differentiates only wrt
+vmi params with the features as constants, so the whole BERT/CubeMLP
+backward is dead code and never compiled — the reference pays for that
+backward and throws it away.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from mimrl_tpu.core.config import MimrlConfig
+from mimrl_tpu.mi.knn import prod_knn_sample
+from mimrl_tpu.models.model import CMI_KEYS, MimrlModel
+from mimrl_tpu.train.losses import compute_task_loss
+from mimrl_tpu.train.optim import merge_params
+
+Array = jax.Array
+
+
+class FeatureBank(struct.PyTreeNode):
+    """Epoch-wide feature store: fixed [N_bank, d] arrays + valid mask
+    (the reference grows python lists and cats them, Solver.py:219-244;
+    here rows are written in place with dynamic_update_slice)."""
+
+    C: Array  # [N, 1] labels
+    F: Array  # [N, d_common]
+    T: Array
+    A: Array
+    V: Array
+    valid: Array  # [N] float32
+
+    @classmethod
+    def create(cls, n_bank: int, n_valid: int, d_common: int,
+               dtype=jnp.float32) -> "FeatureBank":
+        z = functools.partial(jnp.zeros, dtype=dtype)
+        valid = (jnp.arange(n_bank) < n_valid).astype(jnp.float32)
+        return cls(C=z((n_bank, 1)), F=z((n_bank, d_common)),
+                   T=z((n_bank, d_common)), A=z((n_bank, d_common)),
+                   V=z((n_bank, d_common)), valid=valid)
+
+    def write(self, offset: Array, labels: Array, F: Array, T: Array,
+              A: Array, V: Array) -> "FeatureBank":
+        upd = functools.partial(jax.lax.dynamic_update_slice_in_dim, axis=0)
+        return self.replace(
+            C=upd(self.C, labels.reshape(-1, 1).astype(self.C.dtype), offset),
+            F=upd(self.F, F.astype(self.F.dtype), offset),
+            T=upd(self.T, T.astype(self.T.dtype), offset),
+            A=upd(self.A, A.astype(self.A.dtype), offset),
+            V=upd(self.V, V.astype(self.V.dtype), offset),
+        )
+
+
+def sample_all_knn(rng: Array, bank: FeatureBank, batch_size: int,
+                   k_neighbor: int, radius: float) -> Dict[str, Tuple]:
+    """The six conditional-product sample triples of one loss evaluation
+    (ref: Model.py:323-339). Argument layout per estimator:
+    I(x;y|z) samples are (x_bank, y_bank, z_bank)."""
+    triples = {
+        "ac_t": (bank.A, bank.C, bank.T),
+        "ta_c": (bank.T, bank.A, bank.C),
+        "vc_t": (bank.V, bank.C, bank.T),
+        "tv_c": (bank.T, bank.V, bank.C),
+        "tc_a": (bank.T, bank.C, bank.A),
+        "tc_v": (bank.T, bank.C, bank.V),
+    }
+    keys = jax.random.split(rng, len(CMI_KEYS))
+    return {
+        name: prod_knn_sample(keys[i], *triples[name], batch_size=batch_size,
+                              k_neighbor=k_neighbor, radius=radius,
+                              valid=bank.valid > 0.5)
+        for i, name in enumerate(CMI_KEYS)
+    }
+
+
+def _model_inputs(batch: Dict):
+    return (
+        batch["bert_sentences"], batch["bert_sentence_types"],
+        batch["bert_sentence_att_mask"], batch["audio"], batch["video"],
+    )
+
+
+class StepFactory:
+    """Builds the three jitted step functions for a model + config."""
+
+    def __init__(self, model: MimrlModel, cfg: MimrlConfig, opt_main,
+                 opt_vmi):
+        self.model = model
+        self.cfg = cfg
+        self.opt_main = opt_main
+        self.opt_vmi = opt_vmi
+        c1 = jnp.asarray(cfg.loss_mi_coefficient1, jnp.float32)
+        c2 = jnp.asarray(cfg.loss_mi_coefficient2, jnp.float32)
+
+        model_apply = model.apply
+
+        def forward(params, batch, rng, deterministic):
+            return model_apply(
+                {"params": params}, *_model_inputs(batch),
+                deterministic=deterministic, return_features=True,
+                rngs=None if deterministic else {"dropout": rng},
+            )
+
+        def stage_loss(params, labels, feats, knn, stage: int):
+            method = (MimrlModel.compute_vmi_loss_stage1 if stage == 1
+                      else MimrlModel.compute_vmi_loss_stage2)
+            return model_apply({"params": params}, labels, *feats, knn,
+                               method=method)
+
+        # ---------------- stage 1: critic update ---------------- #
+        def critic_step(params_main, params_bert, params_vmi, opt_state,
+                        batch, labels, bank, rng):
+            k_drop, k_knn = jax.random.split(rng)
+            merged = merge_params(params_main, params_bert, params_vmi)
+            out, F_F, T_F, A_F, V_F = forward(merged, batch, k_drop,
+                                              deterministic=False)
+            feats = jax.lax.stop_gradient((F_F, T_F, A_F, V_F))
+            knn = sample_all_knn(k_knn, bank, cfg.batch_size,
+                                 cfg.k_neighbor, cfg.radius)
+
+            def loss_fn(p_vmi):
+                merged_v = merge_params(params_main, params_bert, p_vmi)
+                mis, losses = stage_loss(merged_v, labels, feats, knn, 1)
+                total = sum(l * c for l, c in zip(losses, c1))
+                return total, mis
+
+            (loss, mis), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params_vmi)
+            updates, opt_state = opt_vmi.update(grads, opt_state, params_vmi)
+            params_vmi = optax.apply_updates(params_vmi, updates)
+            return params_vmi, opt_state, loss, jnp.stack(mis)
+
+        # ---------------- stage 2: main update ---------------- #
+        def train_step(params_main, params_bert, params_vmi, opt_state,
+                       batch, labels, bank, new_bank, offset, rng,
+                       use_mi: bool):
+            k_drop, k_knn = jax.random.split(rng)
+            knn = (sample_all_knn(k_knn, bank, cfg.batch_size,
+                                  cfg.k_neighbor, cfg.radius)
+                   if use_mi else None)
+            mask = batch.get("sample_mask")
+
+            def loss_fn(p_trainable):
+                p_main, p_bert = p_trainable
+                merged = merge_params(p_main, p_bert, params_vmi)
+                out, F_F, T_F, A_F, V_F = forward(merged, batch, k_drop,
+                                                  deterministic=False)
+                task_loss = compute_task_loss(
+                    cfg.loss, cfg.num_class, out, labels, mask)
+                if use_mi:
+                    mis, mi_losses = stage_loss(
+                        merged, labels, (F_F, T_F, A_F, V_F), knn, 2)
+                    total = task_loss + sum(
+                        l * c for l, c in zip(mi_losses, c2))
+                    mis = jnp.stack(mis)
+                else:
+                    total = task_loss
+                    mis = jnp.zeros((8,), jnp.float32)
+                return total, (out, F_F, T_F, A_F, V_F, mis, task_loss)
+
+            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                (params_main, params_bert))
+            out, F_F, T_F, A_F, V_F, mis, task_loss = aux
+            g_main, g_bert = grads
+            updates, opt_state = opt_main.update(
+                merge_params(g_main, g_bert), opt_state,
+                merge_params(params_main, params_bert))
+            merged_new = optax.apply_updates(
+                merge_params(params_main, params_bert), updates)
+            params_main = {k: merged_new[k] for k in params_main}
+            params_bert = {k: merged_new[k] for k in params_bert}
+
+            new_bank = new_bank.write(offset, labels, F_F, T_F, A_F, V_F)
+            return (params_main, params_bert, opt_state, loss, mis, out,
+                    new_bank)
+
+        # ---------------- eval ---------------- #
+        def eval_step(params_main, params_bert, params_vmi, batch, labels,
+                      bank, rng, use_mi: bool):
+            merged = merge_params(params_main, params_bert, params_vmi)
+            out, F_F, T_F, A_F, V_F = forward(merged, batch, rng,
+                                              deterministic=True)
+            mask = batch.get("sample_mask")
+            task_loss = compute_task_loss(cfg.loss, cfg.num_class, out,
+                                          labels, mask)
+            if use_mi:
+                knn = sample_all_knn(rng, bank, cfg.batch_size,
+                                     cfg.k_neighbor, cfg.radius)
+                mis, mi_losses = stage_loss(
+                    merged, labels, (F_F, T_F, A_F, V_F), knn, 2)
+                loss = task_loss + sum(l * c for l, c in zip(mi_losses, c2))
+                mis = jnp.stack(mis)
+            else:
+                loss = task_loss
+                mis = jnp.zeros((8,), jnp.float32)
+            return loss, mis, out, (F_F, T_F, A_F, V_F)
+
+        self.critic_step = jax.jit(critic_step, donate_argnums=(2, 3))
+        self.train_step = jax.jit(train_step, static_argnames=("use_mi",),
+                                  donate_argnums=(0, 1, 3, 7))
+        self.eval_step = jax.jit(eval_step, static_argnames=("use_mi",))

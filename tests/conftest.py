@@ -4,8 +4,10 @@ answer to distributed testing — SURVEY.md §4)."""
 
 import os
 
-# Must run before jax is imported anywhere.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Must run before jax is imported anywhere. Forced (not setdefault): the
+# host environment pins JAX_PLATFORMS=axon (remote TPU tunnel), which
+# would route every test op through remote compilation.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

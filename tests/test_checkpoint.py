@@ -1,0 +1,77 @@
+"""Checkpoint round-trips: params, optax states, feature banks."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from mimrl_tpu.core.checkpoint import CheckpointManager
+from mimrl_tpu.core.config import MimrlConfig
+from mimrl_tpu.train.optim import make_vmi_optimizer, set_learning_rate
+from mimrl_tpu.train.steps import FeatureBank
+
+
+def test_params_roundtrip(tmp_path):
+    mgr = CheckpointManager(str(tmp_path))
+    state = {"w": jnp.arange(6.0).reshape(2, 3), "b": jnp.ones(3)}
+    mgr.save("latest", state)
+    template = {"w": jnp.zeros((2, 3)), "b": jnp.zeros(3)}
+    restored = mgr.restore("latest", template)
+    assert np.allclose(np.asarray(restored["w"]), np.arange(6).reshape(2, 3))
+
+
+def test_missing_returns_none(tmp_path):
+    mgr = CheckpointManager(str(tmp_path))
+    assert mgr.restore("latest", {}) is None
+    assert not mgr.exists("latest")
+
+
+def test_optax_state_roundtrip(tmp_path):
+    cfg = MimrlConfig(learning_rate=0.1, optm="Adam")
+    opt = make_vmi_optimizer(cfg)
+    params = {"w": jnp.ones(4)}
+    state = opt.init(params)
+    # advance once so moments are non-trivial
+    updates, state = opt.update({"w": jnp.full(4, 0.5)}, state, params)
+    state = set_learning_rate(state, 0.031)
+
+    mgr = CheckpointManager(str(tmp_path))
+    mgr.save("latest", {"opt": state})
+    template = {"opt": opt.init(params)}
+    restored = mgr.restore("latest", template)["opt"]
+    assert np.isclose(float(restored.hyperparams["learning_rate"]), 0.031)
+    # restored state continues identically
+    u1, _ = opt.update({"w": jnp.full(4, 0.2)}, state, params)
+    u2, _ = opt.update({"w": jnp.full(4, 0.2)}, restored, params)
+    assert np.allclose(np.asarray(u1["w"]), np.asarray(u2["w"]))
+
+
+def test_feature_bank_roundtrip(tmp_path):
+    bank = FeatureBank.create(8, 6, 4)
+    bank = bank.write(0, jnp.arange(3.0), jnp.ones((3, 4)), jnp.ones((3, 4)),
+                      jnp.ones((3, 4)), jnp.ones((3, 4)))
+    mgr = CheckpointManager(str(tmp_path))
+    mgr.save("latest", {"bank": bank})
+    restored = mgr.restore("latest", {"bank": FeatureBank.create(8, 6, 4)})
+    rb = restored["bank"]
+    assert np.allclose(np.asarray(rb.C[:3, 0]), [0, 1, 2])
+    assert np.allclose(np.asarray(rb.valid), np.asarray(bank.valid))
+
+
+def test_config_sidecar(tmp_path):
+    mgr = CheckpointManager(str(tmp_path))
+    cfg = MimrlConfig(batch_size=99)
+    mgr.save_config(cfg.to_json())
+    loaded = mgr.load_config()
+    assert loaded["batch_size"] == 99
+
+
+def test_bank_write_and_valid_mask():
+    bank = FeatureBank.create(10, 7, 3)
+    assert np.asarray(bank.valid).sum() == 7
+    labels = jnp.asarray([1.0, 2.0])
+    f = jnp.full((2, 3), 5.0)
+    bank = bank.write(4, labels, f, f, f, f)
+    assert np.allclose(np.asarray(bank.C)[4:6, 0], [1, 2])
+    assert np.allclose(np.asarray(bank.F)[4:6], 5.0)
+    assert np.allclose(np.asarray(bank.F)[:4], 0.0)

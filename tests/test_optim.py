@@ -1,0 +1,135 @@
+"""Optimizer partitioning, LR schedules, freeze masks, SAM."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from mimrl_tpu.core.config import MimrlConfig
+from mimrl_tpu.train.optim import (
+    LRScheduler,
+    bert_freeze_mask,
+    make_main_optimizer,
+    make_vmi_optimizer,
+    merge_params,
+    partition_params,
+    set_learning_rate,
+)
+from mimrl_tpu.train.sam import sam_ascent, sam_step
+
+
+def _toy_params():
+    return {
+        "bertmodel": {
+            "embeddings": {"w": jnp.ones((2, 2))},
+            "layer_0": {"w": jnp.ones((2, 2))},
+            "layer_9": {"w": jnp.ones((2, 2))},
+        },
+        "W_t": {"kernel": jnp.ones((2, 2))},
+        "vmi_estimator_f_t": {"w": jnp.ones((2, 2))},
+        "vcmi_estimator_ac_t": {"w": jnp.ones((2, 2))},
+    }
+
+
+def test_partition():
+    main, bert, vmi = partition_params(_toy_params())
+    assert set(bert) == {"bertmodel"}
+    assert set(vmi) == {"vmi_estimator_f_t", "vcmi_estimator_ac_t"}
+    assert set(main) == {"W_t"}
+
+
+def test_bert_freeze_part():
+    # 'part' freezes encoder layers <= 8 only (ref: Customization.py:9-12)
+    _, bert, _ = partition_params(_toy_params())
+    mask = bert_freeze_mask(bert, "part")
+    assert mask["bertmodel"]["layer_0"]["w"] == 0.0
+    assert mask["bertmodel"]["layer_9"]["w"] == 1.0
+    assert mask["bertmodel"]["embeddings"]["w"] == 1.0
+    mask_all = bert_freeze_mask(bert, "all")
+    assert mask_all["bertmodel"]["layer_9"]["w"] == 0.0
+    assert mask_all["bertmodel"]["embeddings"]["w"] == 0.0
+
+
+def test_main_optimizer_bert_lr_scaling_and_freeze():
+    cfg = MimrlConfig(learning_rate=0.1, bert_lr_rate=0.01,
+                      bert_freeze="part", gradient_clip=0.0, optm="SGD")
+    params = _toy_params()
+    main, bert, _ = partition_params(params)
+    opt = make_main_optimizer(cfg, main, bert)
+    merged = merge_params(main, bert)
+    state = opt.init(merged)
+    grads = jax.tree_util.tree_map(jnp.ones_like, merged)
+    updates, state = opt.update(grads, state, merged)
+    # main group: -lr * grad
+    assert np.allclose(np.asarray(updates["W_t"]["kernel"]), -0.1)
+    # bert unfrozen layer: -lr * bert_lr_rate
+    assert np.allclose(np.asarray(updates["bertmodel"]["layer_9"]["w"]),
+                       -0.1 * 0.01)
+    # frozen layer: zero update
+    assert np.allclose(np.asarray(updates["bertmodel"]["layer_0"]["w"]), 0.0)
+
+
+def test_gradient_clip_by_value():
+    cfg = MimrlConfig(learning_rate=1.0, gradient_clip=0.5, optm="SGD")
+    opt = make_vmi_optimizer(cfg)
+    params = {"w": jnp.zeros(3)}
+    state = opt.init(params)
+    grads = {"w": jnp.asarray([10.0, -10.0, 0.1])}
+    updates, _ = opt.update(grads, state, params)
+    # clip to +-0.5, then SGD momentum x (-lr)
+    assert np.allclose(np.asarray(updates["w"]), [-0.5, 0.5, -0.1])
+
+
+def test_set_learning_rate():
+    cfg = MimrlConfig(learning_rate=0.1, optm="SGD", gradient_clip=0)
+    opt = make_vmi_optimizer(cfg)
+    params = {"w": jnp.zeros(2)}
+    state = opt.init(params)
+    state = set_learning_rate(state, 0.001)
+    updates, _ = opt.update({"w": jnp.ones(2)}, state, params)
+    assert np.allclose(np.asarray(updates["w"]), -0.001)
+
+
+def test_sam_rejected_by_solver_path():
+    cfg = MimrlConfig(optm="SAM")
+    with pytest.raises(NotImplementedError):
+        make_vmi_optimizer(cfg).init({"w": jnp.zeros(2)})
+
+
+def test_sam_standalone_works():
+    params = {"w": jnp.asarray([1.0, 2.0])}
+
+    def loss_fn(p):
+        return jnp.sum(jnp.square(p["w"]))
+
+    opt = optax.sgd(0.1)
+    state = opt.init(params)
+    new_params, state, loss = sam_step(loss_fn, params, opt, state, rho=0.05)
+    assert float(loss) == 5.0
+    assert float(loss_fn(new_params)) < 5.0
+    e = sam_ascent(jax.grad(loss_fn)(params), rho=0.05)
+    norm = np.sqrt(sum(np.sum(np.square(np.asarray(x)))
+                       for x in jax.tree_util.tree_leaves(e)))
+    assert np.isclose(norm, 0.05, atol=1e-6)
+
+
+def test_lr_schedules():
+    # step (ref: Solver.py:153-156)
+    s = LRScheduler(MimrlConfig(lr_decrease="step", lr_decrease_iter="2",
+                                lr_decrease_rate=0.1))
+    assert [round(s.step(), 4) for _ in range(4)] == [1.0, 0.1, 0.1, 0.01]
+    # multi_step
+    s = LRScheduler(MimrlConfig(lr_decrease="multi_step",
+                                lr_decrease_iter="2-3", lr_decrease_rate=0.1))
+    assert [round(s.step(), 4) for _ in range(4)] == [1.0, 0.1, 0.01, 0.01]
+    # exp
+    s = LRScheduler(MimrlConfig(lr_decrease="exp", lr_decrease_rate=0.5))
+    assert [round(s.step(), 4) for _ in range(3)] == [0.5, 0.25, 0.125]
+    # plateau (min mode for regression)
+    s = LRScheduler(MimrlConfig(lr_decrease="plateau", lr_decrease_iter="1",
+                                lr_decrease_rate=0.1, task="regression"))
+    assert s.step(1.0) == 1.0   # first epoch sets best
+    assert s.step(1.5) == 1.0   # bad 1
+    assert s.step(1.5) == 0.1   # bad 2 > patience 1 -> decay
+    assert s.step(0.5) == 0.1   # improvement resets

@@ -1,0 +1,95 @@
+"""Pallas fused CubeMLP kernel: interpret-mode equality against the
+einsum reference path (same params, same math)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mimrl_tpu.models.cubemlp import AxisMLP, MLPEncoder
+from mimrl_tpu.ops.pallas.cubemlp_kernel import _pick_batch_tile, fused_axis_mlp
+
+
+@pytest.mark.parametrize("axis", [1, 2, 3])
+@pytest.mark.parametrize("use_bias", [True, False])
+def test_fused_axis_mlp_matches_einsum(axis, use_bias):
+    bs, L, K, D = 4, 10, 3, 16
+    dims = {1: L, 2: K, 3: D}
+    d_in = dims[axis]
+    d_hidden, d_out = 12, d_in  # keep shape for easy comparison
+
+    ref = AxisMLP(axis, d_in, d_hidden, d_out, "gelu", use_bias,
+                  use_pallas=False)
+    x = jax.random.normal(jax.random.PRNGKey(0), (bs, L, K, D))
+    params = ref.init(jax.random.PRNGKey(1), x)
+    y_ref = ref.apply(params, x)
+
+    p = params["params"]
+    y_pallas = fused_axis_mlp(
+        x, p["w1"], p["w2"],
+        p.get("b1"), p.get("b2"), axis, "gelu", interpret=True)
+    assert np.allclose(np.asarray(y_ref), np.asarray(y_pallas), atol=1e-5), (
+        np.abs(np.asarray(y_ref) - np.asarray(y_pallas)).max())
+
+
+def test_axis_mlp_module_pallas_flag():
+    """The module path with use_pallas=True must equal use_pallas=False
+    given identical params (CPU -> interpret mode auto-selected)."""
+    bs, L, K, D = 4, 8, 3, 8
+    ref = AxisMLP(1, L, 6, L, "relu", True, use_pallas=False)
+    pal = AxisMLP(1, L, 6, L, "relu", True, use_pallas=True)
+    x = jax.random.normal(jax.random.PRNGKey(0), (bs, L, K, D))
+    params = ref.init(jax.random.PRNGKey(1), x)
+    y1 = ref.apply(params, x)
+    y2 = pal.apply(params, x)
+    assert np.allclose(np.asarray(y1), np.asarray(y2), atol=1e-5)
+
+
+def test_full_encoder_pallas_equivalence():
+    kw = dict(
+        activate="gelu", d_in=[8, 3, 16],
+        d_hiddens=[[8, 3, 16], [4, 2, 8]],
+        d_outs=[[8, 3, 16], [4, 2, 8]],
+        dropouts=[0.0, 0.0, 0.0], use_bias=True, ln_first=False,
+        res_project=[True, True],
+    )
+    enc_ref = MLPEncoder(**kw, use_pallas=False)
+    enc_pal = MLPEncoder(**kw, use_pallas=True)
+    x = jax.random.normal(jax.random.PRNGKey(0), (4, 8, 3, 16))
+    params = enc_ref.init(jax.random.PRNGKey(1), x)
+    y1 = enc_ref.apply(params, x, deterministic=True)
+    y2 = enc_pal.apply(params, x, deterministic=True)
+    assert y1.shape == y2.shape == (4, 4, 2, 8)
+    assert np.allclose(np.asarray(y1), np.asarray(y2), atol=1e-4), (
+        np.abs(np.asarray(y1) - np.asarray(y2)).max())
+
+
+def test_pick_batch_tile():
+    assert _pick_batch_tile(128, 100, 3, 128, 100) >= 1
+    assert 128 % _pick_batch_tile(128, 100, 3, 128, 100) == 0
+    # huge per-sample footprint -> tile 1
+    assert _pick_batch_tile(8, 4096, 3, 4096, 4096) == 1
+
+
+def test_fused_kernel_differentiable():
+    bs, L, K, D = 2, 6, 3, 8
+    x = jax.random.normal(jax.random.PRNGKey(0), (bs, L, K, D))
+    w1 = jax.random.normal(jax.random.PRNGKey(1), (L, 5)) * 0.1
+    w2 = jax.random.normal(jax.random.PRNGKey(2), (5, L)) * 0.1
+
+    def f(w1, w2):
+        return jnp.sum(fused_axis_mlp(x, w1, w2, None, None, 1, "gelu",
+                                      interpret=True))
+
+    g1, g2 = jax.grad(f, argnums=(0, 1))(w1, w2)
+    assert np.isfinite(np.asarray(g1)).all()
+    assert np.isfinite(np.asarray(g2)).all()
+    # check against einsum path gradients
+    def f_ref(w1, w2):
+        h = jax.nn.gelu(jnp.einsum("blkd,lh->bhkd", x, w1),
+                        approximate=False)
+        return jnp.sum(jnp.einsum("bhkd,hl->blkd", h, w2))
+
+    r1, r2 = jax.grad(f_ref, argnums=(0, 1))(w1, w2)
+    assert np.allclose(np.asarray(g1), np.asarray(r1), atol=1e-4)
+    assert np.allclose(np.asarray(g2), np.asarray(r2), atol=1e-4)
