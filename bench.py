@@ -37,6 +37,7 @@ def main():
     import jax.numpy as jnp
 
     from __graft_entry__ import _build, _inputs
+    from mimrl_tpu.models.model import init_full
     from mimrl_tpu.train.optim import (
         make_main_optimizer, make_vmi_optimizer, merge_params,
         partition_params)
@@ -52,7 +53,8 @@ def main():
                         bert_layers=bert_layers, bert_hidden=768,
                         bert_heads=12, cube_l=50)
     inputs = _inputs(bs, time_len, d_a, d_v)
-    params = model.init({"params": jax.random.PRNGKey(0)}, *inputs)["params"]
+    params = init_full(model, {"params": jax.random.PRNGKey(0)},
+                       *inputs)["params"]
     p_main, p_bert, p_vmi = partition_params(params)
     opt_main = make_main_optimizer(cfg, p_main, p_bert)
     opt_vmi = make_vmi_optimizer(cfg)

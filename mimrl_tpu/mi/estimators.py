@@ -139,7 +139,16 @@ class VCMIEstimator(nn.Module):
         fy = self._tile_to_embed(features_y)
         fz = self._tile_to_embed(features_z)
         joint = jnp.concatenate([fx, fy, fz], axis=1)
-        prod = jnp.concatenate([knn_x, knn_y, knn_z], axis=1)
+        # knn samples are tiled to the banks' max dim (= d_common) by
+        # prod_knn_sample; tile them on to embed_dim as well. For the
+        # reference's only working configuration (d_common == 128 ==
+        # embed_dim) this is the identity, and it generalizes the
+        # estimator to d_common | 128 instead of crashing like the
+        # reference would (Model.py:153 vs :98-104 dim mismatch).
+        kx = self._tile_to_embed(knn_x)
+        ky = self._tile_to_embed(knn_y)
+        kz = self._tile_to_embed(knn_z)
+        prod = jnp.concatenate([kx, ky, kz], axis=1)
 
         # When bs % k != 0 the product set is smaller; truncate the joint
         # set to match (ref: Model.py:180-187). Shapes are static.

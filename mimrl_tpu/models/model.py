@@ -319,6 +319,33 @@ class MimrlModel(nn.Module):
         return mis, losses
 
 
+def _init_all_method(self: "MimrlModel", bert_sentences, bert_sentence_types,
+                     bert_sentence_att_mask, a, v):
+    """Init driver touching EVERY parameter, incl. the MI/CMI estimator
+    bank. Flax creates params lazily on first use; the plain forward
+    never calls the estimators (they run only in the stage losses), so a
+    vanilla ``model.init`` would leave the 'vmi_*'/'vcmi_*' groups empty
+    — unlike the reference, whose torch Model materializes everything in
+    __init__ (ref: Model.py:283-303)."""
+    out, F_F, T_F, A_F, V_F = self(
+        bert_sentences, bert_sentence_types, bert_sentence_att_mask, a, v,
+        deterministic=True, return_features=True)
+    bs = a.shape[0]
+    m = (bs // self.k_neighbor) * self.k_neighbor
+    dummy = jnp.zeros((m, EST_EMBED_DIM), F_F.dtype)
+    knn = {k: (dummy, dummy, dummy) for k in CMI_KEYS}
+    labels = jnp.zeros((bs,), F_F.dtype)
+    self.compute_vmi_loss_stage1(labels, F_F, T_F, A_F, V_F, knn)
+    return out
+
+
+def init_full(model: "MimrlModel", rngs, bert_sentences, bert_sentence_types,
+              bert_sentence_att_mask, a, v):
+    """All-parameter init (forward + estimator bank); returns variables."""
+    return model.init(rngs, bert_sentences, bert_sentence_types,
+                      bert_sentence_att_mask, a, v, method=_init_all_method)
+
+
 def _fit_time(x: Array, T: int) -> Array:
     """Pad (zeros) or truncate axis 1 to length T (ref: Model.py:468-470)."""
     cur = x.shape[1]

@@ -74,7 +74,7 @@ def _kernel(x_ref, w1_ref, w2_ref, b1_ref, b2_ref, out_ref, *, axis: int,
     out_ref[:] = y
 
 
-def fused_axis_mlp(
+def _run_fused(
     x: Array,
     w1: Array,
     w2: Array,
@@ -125,3 +125,66 @@ def fused_axis_mlp(
         out_shape=jax.ShapeDtypeStruct(tuple(out_shape), x.dtype),
         interpret=interpret,
     )(x, w1, w2, b1, b2)
+
+
+# --------------------------------------------------------------------- #
+# custom VJP: Pallas forward, einsum backward (pallas_call has no
+# automatic reverse-mode; the backward contractions are plain MXU
+# matmuls XLA schedules well — see Patterns: Custom VJP in the Pallas
+# guide).
+# --------------------------------------------------------------------- #
+
+_AXIS_EQNS_FWD = {1: "blkd,lh->bhkd", 2: "blkd,kh->blhd", 3: "blkd,dh->blkh"}
+_AXIS_EQNS_GRADW = {1: "blkd,bhkd->lh", 2: "blkd,blhd->kh", 3: "blkd,blkh->dh"}
+_AXIS_SUM_DIMS = {1: (0, 2, 3), 2: (0, 1, 3), 3: (0, 1, 2)}
+
+
+def _mix(t, w, axis):
+    return jnp.einsum(_AXIS_EQNS_FWD[axis], t, w,
+                      preferred_element_type=jnp.float32)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def _fused_custom(x, w1, w2, b1, b2, axis, activate, interpret):
+    return _run_fused(x, w1, w2, b1, b2, axis, activate, interpret)
+
+
+def _fused_fwd(x, w1, w2, b1, b2, axis, activate, interpret):
+    y = _run_fused(x, w1, w2, b1, b2, axis, activate, interpret)
+    return y, (x, w1, w2, b1)
+
+
+def _fused_bwd(axis, activate, interpret, res, dy):
+    del interpret
+    x, w1, w2, b1 = res
+    act = get_activation_fn(activate)
+
+    def bias(b, like):
+        shape = [1] * like.ndim
+        shape[axis] = b.shape[0]
+        return b.reshape(shape)
+
+    h_pre = _mix(x, w1, axis)
+    if b1 is not None:
+        h_pre = h_pre + bias(b1, h_pre)
+    h, act_vjp = jax.vjp(act, h_pre)
+
+    dh = _mix(dy, w2.T, axis)
+    dw2 = jnp.einsum(_AXIS_EQNS_GRADW[axis], h, dy,
+                     preferred_element_type=jnp.float32)
+    (dh_pre,) = act_vjp(dh)
+    dw1 = jnp.einsum(_AXIS_EQNS_GRADW[axis], x, dh_pre,
+                     preferred_element_type=jnp.float32)
+    dx = _mix(dh_pre, w1.T, axis)
+    db1 = jnp.sum(dh_pre, axis=_AXIS_SUM_DIMS[axis]) if b1 is not None else None
+    db2 = jnp.sum(dy, axis=_AXIS_SUM_DIMS[axis]) if b1 is not None else None
+    return dx, dw1, dw2, db1, db2
+
+
+_fused_custom.defvjp(_fused_fwd, _fused_bwd)
+
+
+def fused_axis_mlp(x, w1, w2, b1, b2, axis, activate, interpret=False):
+    """Public wrapper (keyword-friendly; custom_vjp requires positional
+    args for its nondiff_argnums)."""
+    return _fused_custom(x, w1, w2, b1, b2, axis, activate, interpret)

@@ -32,7 +32,7 @@ from mimrl_tpu.data.tokenizer import build_tokenizer
 from mimrl_tpu.data.universal import get_data_loader
 from mimrl_tpu.eval.metrics import current_result_better, get_score_from_result
 from mimrl_tpu.models.bert import BertConfig, load_bert_weights
-from mimrl_tpu.models.model import MimrlModel, apply_orthogonal_whh
+from mimrl_tpu.models.model import MimrlModel, apply_orthogonal_whh, init_full
 from mimrl_tpu.parallel.mesh import make_mesh, shard_batch, shard_params
 from mimrl_tpu.train.optim import (
     LRScheduler,
@@ -90,10 +90,10 @@ class Solver:
         self.root_rng = jax.random.PRNGKey(opt.seed)
         init_rng, ortho_rng, self.loop_rng = jax.random.split(self.root_rng, 3)
         dummy = self._dummy_batch()
-        variables = self.model.init(
-            {"params": init_rng}, dummy["bert_sentences"],
+        variables = init_full(
+            self.model, {"params": init_rng}, dummy["bert_sentences"],
             dummy["bert_sentence_types"], dummy["bert_sentence_att_mask"],
-            dummy["audio"], dummy["video"], deterministic=True)
+            dummy["audio"], dummy["video"])
         params = variables["params"]
         # orthogonal recurrent kernels (ref: Customization.py:18-21)
         params = apply_orthogonal_whh(params, ortho_rng)
@@ -305,7 +305,10 @@ class Solver:
 
     # ------------------------------------------------------------------ #
     def _state_dict(self, epoch: int):
-        return {
+        """Host-materialized snapshot: the jitted steps donate their
+        param/optimizer buffers, so a snapshot holding live device arrays
+        would be invalidated by the next step."""
+        return jax.device_get({
             "epoch": epoch,
             "params_main": self.params_main,
             "params_bert": self.params_bert,
@@ -315,7 +318,7 @@ class Solver:
             "bank": self.bank,
             "lr_factor": self.lr_schedule.factor,
             "global_step": self.global_step,
-        }
+        })
 
     def _resume(self, resume_dir: str):
         mgr = CheckpointManager(resume_dir)

@@ -8,7 +8,12 @@ import numpy as np
 import pytest
 
 from mimrl_tpu.models.bert import BertConfig
-from mimrl_tpu.models.model import MimrlModel, apply_orthogonal_whh, get_output_dim
+from mimrl_tpu.models.model import (
+    MimrlModel,
+    apply_orthogonal_whh,
+    get_output_dim,
+    init_full,
+)
 from mimrl_tpu.train.optim import merge_params, partition_params
 from mimrl_tpu.train.steps import FeatureBank, sample_all_knn
 
@@ -46,7 +51,8 @@ def batch_inputs(key=0):
 @pytest.fixture(scope="module")
 def model_and_params():
     model = tiny_model()
-    params = model.init({"params": jax.random.PRNGKey(0)}, *batch_inputs())
+    params = init_full(model, {"params": jax.random.PRNGKey(0)},
+                       *batch_inputs())
     return model, params["params"]
 
 
