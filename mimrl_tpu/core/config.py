@@ -104,6 +104,7 @@ class MimrlConfig:
     task_dir: str = "./TaskRuning"  # run dir root [sic spelling, ref: Solver.py:108]
     jit_backend: Optional[str] = None  # force a jax platform (tests use 'cpu')
     bank_dtype: str = "float32"
+    profile_dir: Optional[str] = None  # jax.profiler trace output dir
 
     # Derived/validation -----------------------------------------------------
     def __post_init__(self):
@@ -235,6 +236,7 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--task_dir", default=d.task_dir, type=str)
     p.add_argument("--jit_backend", default=None, type=str)
     p.add_argument("--bank_dtype", default=d.bank_dtype, type=str)
+    p.add_argument("--profile_dir", default=None, type=str)
     return p
 
 

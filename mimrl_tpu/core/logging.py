@@ -17,16 +17,26 @@ from typing import Optional
 
 
 def set_logger(log_path: str) -> None:
+    """Attach file+stream handlers for this run. Idempotent per path and
+    robust to foreign root handlers (pytest, absl): our handlers are
+    tagged and replaced instead of the reference's bare
+    `if not logger.handlers` check (ref: Utils.py:52-63), which silently
+    skips the file handler when anything else configured logging first."""
     logger = logging.getLogger()
     logger.setLevel(logging.DEBUG)
-    if not logger.handlers:
-        file_handler = logging.FileHandler(log_path)
-        file_handler.setFormatter(
-            logging.Formatter("%(asctime)s:%(levelname)s: %(message)s"))
-        logger.addHandler(file_handler)
-        stream_handler = logging.StreamHandler()
-        stream_handler.setFormatter(logging.Formatter("%(message)s"))
-        logger.addHandler(stream_handler)
+    for h in list(logger.handlers):
+        if getattr(h, "_mimrl_handler", False):
+            logger.removeHandler(h)
+            h.close()
+    file_handler = logging.FileHandler(log_path)
+    file_handler.setFormatter(
+        logging.Formatter("%(asctime)s:%(levelname)s: %(message)s"))
+    file_handler._mimrl_handler = True
+    logger.addHandler(file_handler)
+    stream_handler = logging.StreamHandler()
+    stream_handler.setFormatter(logging.Formatter("%(message)s"))
+    stream_handler._mimrl_handler = True
+    logger.addHandler(stream_handler)
 
 
 def log_message(message: str) -> None:

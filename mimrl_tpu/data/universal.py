@@ -71,7 +71,7 @@ def get_data_loader(
         return (*make_pipes(*splits, avec_random_word=(opt.text == "text")),
                 d_t, d_a, d_v)
 
-    if dataset in LOCAL_DATASETS:
+    if dataset in LOCAL_DATASETS:  # noqa: SIM114 (explicit per-family blocks)
         splits = [
             load_local_dataset(dataset, mode, normalize=opt.normalize,
                                log_scale=opt.log_scale, data_path=data_dir)
@@ -81,3 +81,54 @@ def get_data_loader(
         return (*make_pipes(*splits), d_t, d_a, d_v)
 
     raise NotImplementedError(dataset)
+
+
+# --------------------------------------------------------------------- #
+# Maintenance utilities (ref: DataLoaderUniversal.py:98-152)
+# --------------------------------------------------------------------- #
+
+def get_dataset_scales(datasets=None, **cfg_overrides):
+    """Scan per-modality min/max over every split of each dataset — the
+    tool that produced the frozen tables in `registry`
+    (ref: DataLoaderUniversal.py:98-126). Returns {name: (mins, maxs)}."""
+    import numpy as np
+
+    datasets = datasets or registry.ALL_DATASETS
+    results = {}
+    for name in datasets:
+        opt = MimrlConfig(
+            dataset=name, text="glove", audio="covarep", video="facet42",
+            time_len=200, normalize=[False] * 3, log_scale=[False] * 3,
+            batch_size=1024, num_workers=0, **cfg_overrides)
+        mins = [np.inf] * 3
+        maxs = [-np.inf] * 3
+        loaders = get_data_loader(opt)[:3]
+        for loader in loaders:
+            for batch in loader:
+                mods = [batch.get("text"), batch["audio"], batch["video"]]
+                for i, m in enumerate(mods):
+                    if m is None:
+                        continue
+                    mins[i] = min(mins[i], float(m.min()))
+                    maxs[i] = max(maxs[i], float(m.max()))
+        results[name] = (mins, maxs)
+    return results
+
+
+def test_all_dataset(datasets=None, **cfg_overrides):
+    """Smoke-iterate every dataset's train split and assert the feature
+    dims against the registry (ref: DataLoaderUniversal.py:139-152)."""
+    datasets = datasets or registry.ALL_DATASETS
+    for name in datasets:
+        is_avec = name == "avec2019"
+        opt = MimrlConfig(
+            dataset=name, text="glove",
+            audio="covarep" if not is_avec else "ds",
+            video="facet42" if not is_avec else "resnet",
+            normalize=[False, True, True], log_scale=[False, True, True],
+            time_len=100, batch_size=1024, num_workers=0, **cfg_overrides)
+        train, _, _, d_t, d_a, d_v = get_data_loader(opt)
+        for batch in train:
+            assert batch["audio"].shape[-1] == d_a, (name, d_a)
+            assert batch["video"].shape[-1] == d_v, (name, d_v)
+            break

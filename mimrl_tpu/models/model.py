@@ -341,9 +341,21 @@ def _init_all_method(self: "MimrlModel", bert_sentences, bert_sentence_types,
 
 def init_full(model: "MimrlModel", rngs, bert_sentences, bert_sentence_types,
               bert_sentence_att_mask, a, v):
-    """All-parameter init (forward + estimator bank); returns variables."""
-    return model.init(rngs, bert_sentences, bert_sentence_types,
-                      bert_sentence_att_mask, a, v, method=_init_all_method)
+    """All-parameter init (forward + estimator bank); returns variables.
+
+    Jitted so initialization is ONE compiled program — eager flax init
+    compiles every op separately, which is pathological on backends with
+    remote compilation."""
+
+    @jax.jit
+    def _do(rngs, bert_sentences, bert_sentence_types,
+            bert_sentence_att_mask, a, v):
+        return model.init(rngs, bert_sentences, bert_sentence_types,
+                          bert_sentence_att_mask, a, v,
+                          method=_init_all_method)
+
+    return _do(rngs, bert_sentences, bert_sentence_types,
+               bert_sentence_att_mask, a, v)
 
 
 def _fit_time(x: Array, T: int) -> Array:

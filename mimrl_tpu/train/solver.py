@@ -236,6 +236,8 @@ class Solver:
                             self.params_vmi, self.opt_vmi_state, model_batch,
                             labels_dev, self.bank, self._next_rng()))
                     mi_losses.append(loss)
+                    if opt.check_gradient:
+                        self._log_gradients(model_batch, labels_dev, 1)
                 running_loss_mi += float(np.sum([float(l) for l in mi_losses]))
 
         # Stage 2
@@ -254,6 +256,8 @@ class Solver:
                 new_bank, offset, self._next_rng(), use_mi=use_mi)
             step_losses.append(loss)
             step_mis.append(mis)
+            if opt.check_gradient and use_mi:
+                self._log_gradients(model_batch, labels_dev, 2)
             mask = batch["sample_mask"] > 0.5
             predictions.append(np.asarray(out)[mask])
             targets.append(labels_np[mask])
@@ -271,6 +275,15 @@ class Solver:
             predictions, targets, opt.dataset, opt.task, opt.num_class)
         return (running_loss / n, running_loss_mi / n,
                 (mis_sum / n).tolist(), train_score)
+
+    def _log_gradients(self, model_batch, labels_dev, stage: int):
+        """--check_gradient: per-module |grad| sums
+        (ref: Solver.py:215-216, Utils.py:11-19)."""
+        sums = self.steps.grad_debug_step(
+            self.params_main, self.params_bert, self.params_vmi,
+            model_batch, labels_dev, self.bank, self._next_rng(), stage)
+        for name in sorted(sums):
+            log_message(f"-->grad[{name}] = {float(sums[name]):.6f}")
 
     def evaluate(self, loader):
         """No-grad eval pass (ref: Solver.py:250-270)."""
@@ -349,7 +362,12 @@ class Solver:
         best_targets = [None, None]
         best_valid_state, best_test_state = None, None
 
+        profiling = False
         for epoch in range(self.start_epoch, opt.epochs_num):
+            if opt.profile_dir and epoch == self.start_epoch + 1:
+                # trace the first post-compile epoch (SURVEY.md §5.1)
+                jax.profiler.start_trace(opt.profile_dir)
+                profiling = True
             t0 = time.time()
             train_loss, train_loss_mi, train_mis, train_score = self.train(epoch)
             (val_loss, val_mis, val_score, val_predictions, val_targets,
@@ -392,6 +410,10 @@ class Solver:
                               val_loss, val_mis, val_score, test_loss,
                               test_mis, test_score)
             self.ckpt.save("latest", self._state_dict(epoch))
+            if profiling:
+                jax.profiler.stop_trace()
+                profiling = False
+                log_message(f"Profiler trace written to {opt.profile_dir}")
 
         log_message("Training complete.")
         self.writer.close()

@@ -221,7 +221,40 @@ class StepFactory:
                 mis = jnp.zeros((8,), jnp.float32)
             return loss, mis, out, (F_F, T_F, A_F, V_F)
 
+        # ---------------- gradient debug (--check_gradient) ---------------- #
+        def grad_debug_step(params_main, params_bert, params_vmi, batch,
+                            labels, bank, rng, stage: int):
+            """Per-module |grad| sums for the stage loss
+            (ref: --check_gradient -> print_gradient, Utils.py:11-19)."""
+            k_drop, k_knn = jax.random.split(rng)
+            knn = sample_all_knn(k_knn, bank, cfg.batch_size,
+                                 cfg.k_neighbor, cfg.radius)
+            mask = batch.get("sample_mask")
+
+            def loss_fn(all_params):
+                out, F_F, T_F, A_F, V_F = forward(all_params, batch, k_drop,
+                                                  deterministic=False)
+                if stage == 1:
+                    _, losses = stage_loss(all_params, labels,
+                                           (F_F, T_F, A_F, V_F), knn, 1)
+                    return sum(l * c for l, c in zip(losses, c1))
+                task_loss = compute_task_loss(cfg.loss, cfg.num_class, out,
+                                              labels, mask)
+                _, mi_losses = stage_loss(all_params, labels,
+                                          (F_F, T_F, A_F, V_F), knn, 2)
+                return task_loss + sum(l * c for l, c in zip(mi_losses, c2))
+
+            merged = merge_params(params_main, params_bert, params_vmi)
+            grads = jax.grad(loss_fn)(merged)
+            return {
+                name: sum(jnp.sum(jnp.abs(leaf))
+                          for leaf in jax.tree_util.tree_leaves(sub))
+                for name, sub in grads.items()
+            }
+
         self.critic_step = jax.jit(critic_step, donate_argnums=(2, 3))
+        self.grad_debug_step = jax.jit(grad_debug_step,
+                                       static_argnames=("stage",))
         self.train_step = jax.jit(train_step, static_argnames=("use_mi",),
                                   donate_argnums=(0, 1, 3, 7))
         self.eval_step = jax.jit(eval_step, static_argnames=("use_mi",))
