@@ -47,11 +47,12 @@ def main():
     time_len = int(os.environ.get("BENCH_TIME_LEN", 100))
     n_steps = int(os.environ.get("BENCH_STEPS", 10))
     bert_layers = int(os.environ.get("BENCH_BERT_LAYERS", 12))
+    dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
     d_a, d_v, d_common = 5, 20, 128  # mosi_dec dims (ref: Config.py:75)
 
     cfg, model = _build(bs, time_len, d_a, d_v, d_common=d_common,
                         bert_layers=bert_layers, bert_hidden=768,
-                        bert_heads=12, cube_l=50)
+                        bert_heads=12, cube_l=50, compute_dtype=dtype)
     inputs = _inputs(bs, time_len, d_a, d_v)
     params = init_full(model, {"params": jax.random.PRNGKey(0)},
                        *inputs)["params"]

@@ -57,6 +57,20 @@ def _pad_time(x: np.ndarray, time_len: int) -> np.ndarray:
     return x.astype(np.float32)
 
 
+def _pad_stack(arrays, time_len: int) -> np.ndarray:
+    """[len_i, d] list -> [n, time_len, d], via the native collation
+    kernel (mimrl_tpu/native/collate.cpp) when available."""
+    try:
+        from mimrl_tpu import native
+
+        out = native.pad_stack(arrays, time_len)
+        if out is not None:
+            return out
+    except Exception:
+        pass
+    return np.stack([_pad_time(a, time_len) for a in arrays])
+
+
 class BatchPipeline:
     """Iterates fixed-shape batches over an ArrayDataset.
 
@@ -98,11 +112,10 @@ class BatchPipeline:
             self.n_batches = (n + batch_size - 1) // batch_size
 
         # Pre-pad modality tensors once (cheap, reused every epoch)
-        self._audio = np.stack([_pad_time(a, time_len) for a in dataset.audio])
-        self._video = np.stack([_pad_time(v, time_len) for v in dataset.video])
+        self._audio = _pad_stack(dataset.audio, time_len)
+        self._video = _pad_stack(dataset.video, time_len)
         if dataset.text_feat is not None:
-            self._text_feat = np.stack(
-                [_pad_time(t, time_len) for t in dataset.text_feat])
+            self._text_feat = _pad_stack(dataset.text_feat, time_len)
         else:
             self._text_feat = None
 

@@ -71,7 +71,27 @@ class WordPieceTokenizer:
         with open(path, encoding="utf-8") as f:
             for i, line in enumerate(f):
                 vocab[line.rstrip("\n")] = i
-        return cls(vocab, lower=lower)
+        tok = cls(vocab, lower=lower)
+        tok._try_native()
+        return tok
+
+    def _try_native(self) -> None:
+        """Attach the native WordPiece encoder (mimrl_tpu/native) when the
+        library builds; ASCII-equivalent to the Python path."""
+        try:
+            from mimrl_tpu.native import NativeWordPiece
+
+            tokens = [None] * self.vocab_size
+            for tok_str, idx in self.vocab.items():
+                if idx < len(tokens):
+                    tokens[idx] = tok_str
+            tokens = [t if t is not None else f"[unused{i}]"
+                      for i, t in enumerate(tokens)]
+            self._native = NativeWordPiece(
+                tokens, self.pad_id, self.unk_id, self.cls_id, self.sep_id,
+                lower=self.lower)
+        except Exception:
+            self._native = None
 
     @classmethod
     def hash_fallback(cls, vocab_size: int = 30522, lower: bool = True
@@ -135,6 +155,10 @@ class WordPieceTokenizer:
 
     def batch_encode(self, texts: List[str], max_length: int):
         import numpy as np
+
+        native = getattr(self, "_native", None)
+        if native is not None:
+            return native.batch_encode(texts, max_length)
 
         out_ids, out_types, out_mask = [], [], []
         for t in texts:

@@ -30,9 +30,13 @@ def logmeanexp_diag(scores: Array) -> Array:
 
 
 def logmeanexp_nodiag(scores: Array) -> Array:
-    """logmeanexp over off-diagonal elements (ref: VMI.py:121-126)."""
+    """logmeanexp over off-diagonal elements (ref: VMI.py:121-126).
+
+    The diagonal is excluded with a where-mask: the reference's
+    ``x - diag(inf)`` trick would put 0*inf = NaN on the off-diagonal
+    under IEEE semantics when expressed as ``eye * inf``."""
     n = scores.shape[0]
-    masked = scores - _diag_mask(n) * jnp.inf
+    masked = jnp.where(jnp.eye(n, dtype=bool), -jnp.inf, scores)
     lse = jax.nn.logsumexp(masked)
     return lse - jnp.log(jnp.float32(n) * (n - 1.0))
 
@@ -40,7 +44,7 @@ def logmeanexp_nodiag(scores: Array) -> Array:
 def exp_nodiag(scores: Array) -> Array:
     """exp with the diagonal zeroed (ref: VMI.py:129-133)."""
     n = scores.shape[0]
-    return jnp.exp(scores - _diag_mask(n) * jnp.inf)
+    return jnp.exp(jnp.where(jnp.eye(n, dtype=bool), -jnp.inf, scores))
 
 
 def dv_lower_bound(scores: Array) -> Array:

@@ -14,7 +14,7 @@ import jax.numpy as jnp
 
 from mimrl_tpu.mi import bounds
 from mimrl_tpu.mi.critics import BaselineModel, CriticModel
-from mimrl_tpu.models.activations import get_activation_fn
+from mimrl_tpu.utils.activations import get_activation_fn
 
 Array = jax.Array
 

@@ -43,6 +43,9 @@ class BertConfig:
     layer_norm_eps: float = 1e-12
     hidden_dropout_prob: float = 0.1
     attention_probs_dropout_prob: float = 0.1
+    # matmul compute dtype; params stay float32, LayerNorm/softmax run in
+    # float32 (the standard TPU mixed-precision recipe)
+    dtype: Any = jnp.float32
 
     @classmethod
     def tiny(cls) -> "BertConfig":
@@ -59,15 +62,16 @@ class BertEmbeddings(nn.Module):
     def __call__(self, input_ids, token_type_ids, deterministic=True):
         c = self.config
         T = input_ids.shape[1]
-        word = nn.Embed(c.vocab_size, c.hidden_size, name="word_embeddings")(
-            input_ids)
+        word = nn.Embed(c.vocab_size, c.hidden_size, dtype=c.dtype,
+                        name="word_embeddings")(input_ids)
         pos_ids = jnp.arange(T)[None, :]
         pos = nn.Embed(c.max_position_embeddings, c.hidden_size,
-                       name="position_embeddings")(pos_ids)
-        tok = nn.Embed(c.type_vocab_size, c.hidden_size,
+                       dtype=c.dtype, name="position_embeddings")(pos_ids)
+        tok = nn.Embed(c.type_vocab_size, c.hidden_size, dtype=c.dtype,
                        name="token_type_embeddings")(token_type_ids)
         x = word + pos + tok
-        x = nn.LayerNorm(epsilon=c.layer_norm_eps, name="layer_norm")(x)
+        x = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=jnp.float32,
+                         name="layer_norm")(x).astype(c.dtype)
         return nn.Dropout(c.hidden_dropout_prob)(x, deterministic=deterministic)
 
 
@@ -82,23 +86,24 @@ class BertSelfAttention(nn.Module):
         bs, T, _ = x.shape
 
         def heads(name):
-            y = nn.Dense(H, name=name)(x)
+            y = nn.Dense(H, dtype=c.dtype, name=name)(x)
             return y.reshape(bs, T, nh, hd).transpose(0, 2, 1, 3)
 
         q, k, v = heads("query"), heads("key"), heads("value")
         scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
                             preferred_element_type=jnp.float32)
         scores = scores / jnp.sqrt(jnp.float32(hd)) + attn_bias
-        probs = jax.nn.softmax(scores, axis=-1)
+        probs = jax.nn.softmax(scores, axis=-1)  # float32
         probs = nn.Dropout(c.attention_probs_dropout_prob)(
             probs, deterministic=deterministic)
-        ctx = jnp.einsum("bhqk,bhkd->bhqd", probs, v,
+        ctx = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(c.dtype), v,
                          preferred_element_type=jnp.float32)
-        ctx = ctx.transpose(0, 2, 1, 3).reshape(bs, T, H)
-        out = nn.Dense(H, name="output_dense")(ctx)
+        ctx = ctx.transpose(0, 2, 1, 3).reshape(bs, T, H).astype(c.dtype)
+        out = nn.Dense(H, dtype=c.dtype, name="output_dense")(ctx)
         out = nn.Dropout(c.hidden_dropout_prob)(out, deterministic=deterministic)
-        return nn.LayerNorm(epsilon=c.layer_norm_eps, name="output_layer_norm")(
-            out + x)
+        return nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=jnp.float32,
+                            name="output_layer_norm")(
+            out + x).astype(c.dtype)
 
 
 class BertLayer(nn.Module):
@@ -108,12 +113,14 @@ class BertLayer(nn.Module):
     def __call__(self, x, attn_bias, deterministic=True):
         c = self.config
         x = BertSelfAttention(c, name="attention")(x, attn_bias, deterministic)
-        h = nn.Dense(c.intermediate_size, name="intermediate_dense")(x)
+        h = nn.Dense(c.intermediate_size, dtype=c.dtype,
+                     name="intermediate_dense")(x)
         h = jax.nn.gelu(h, approximate=False)
-        h = nn.Dense(c.hidden_size, name="output_dense")(h)
+        h = nn.Dense(c.hidden_size, dtype=c.dtype, name="output_dense")(h)
         h = nn.Dropout(c.hidden_dropout_prob)(h, deterministic=deterministic)
-        return nn.LayerNorm(epsilon=c.layer_norm_eps, name="output_layer_norm")(
-            h + x)
+        return nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=jnp.float32,
+                            name="output_layer_norm")(
+            h + x).astype(c.dtype)
 
 
 class BertModel(nn.Module):
@@ -132,7 +139,8 @@ class BertModel(nn.Module):
         attn_bias = attn_bias * jnp.float32(-1e9)
         for i in range(c.num_hidden_layers):
             x = BertLayer(c, name=f"layer_{i}")(x, attn_bias, deterministic)
-        return x
+        # downstream projection/W_t and summary means run in float32
+        return x.astype(jnp.float32)
 
 
 # ---------------------------------------------------------------------------

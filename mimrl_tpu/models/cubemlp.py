@@ -28,7 +28,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from mimrl_tpu.models.activations import get_activation_fn
+from mimrl_tpu.utils.activations import get_activation_fn
 
 Array = jax.Array
 

@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
-from mimrl_tpu.models.activations import get_activation_fn
+from mimrl_tpu.utils.activations import get_activation_fn
 
 Array = jax.Array
 

@@ -66,6 +66,8 @@ class Solver:
             num_attention_heads=opt.bert_heads,
             intermediate_size=opt.bert_hidden * 4,
             max_position_embeddings=max(512, opt.time_len),
+            dtype=jnp.bfloat16 if opt.compute_dtype == "bfloat16"
+            else jnp.float32,
         )
         self.model = MimrlModel(
             d_t=self.d_t, d_a=self.d_a, d_v=self.d_v, d_common=opt.d_common,
