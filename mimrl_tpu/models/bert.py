@@ -85,11 +85,12 @@ class BertSelfAttention(nn.Module):
         hd = H // nh
         bs, T, _ = x.shape
 
-        def heads(name):
-            y = nn.Dense(H, dtype=c.dtype, name=name)(x)
-            return y.reshape(bs, T, nh, hd).transpose(0, 2, 1, 3)
-
-        q, k, v = heads("query"), heads("key"), heads("value")
+        # fused QKV projection: one [H, 3H] MXU matmul instead of three
+        qkv = nn.Dense(3 * H, dtype=c.dtype, name="qkv")(x)
+        q, k, v = (
+            y.reshape(bs, T, nh, hd).transpose(0, 2, 1, 3)
+            for y in jnp.split(qkv, 3, axis=-1)
+        )
         scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
                             preferred_element_type=jnp.float32)
         scores = scores / jnp.sqrt(jnp.float32(hd)) + attn_bias
@@ -161,12 +162,6 @@ def _layer_map(i: int) -> Dict[str, tuple]:
     p = f"encoder.layer.{i}."
     f = (f"layer_{i}",)
     return {
-        p + "attention.self.query.weight": f + ("attention", "query", "kernel"),
-        p + "attention.self.query.bias": f + ("attention", "query", "bias"),
-        p + "attention.self.key.weight": f + ("attention", "key", "kernel"),
-        p + "attention.self.key.bias": f + ("attention", "key", "bias"),
-        p + "attention.self.value.weight": f + ("attention", "value", "kernel"),
-        p + "attention.self.value.bias": f + ("attention", "value", "bias"),
         p + "attention.output.dense.weight": f + ("attention", "output_dense", "kernel"),
         p + "attention.output.dense.bias": f + ("attention", "output_dense", "bias"),
         p + "attention.output.LayerNorm.weight": f + ("attention", "output_layer_norm", "scale"),
@@ -189,22 +184,33 @@ def convert_hf_torch_state_dict(state_dict: Dict[str, Any],
     for i in range(config.num_hidden_layers):
         mapping.update(_layer_map(i))
 
+    def fetch(torch_name):
+        for cand in (torch_name, "bert." + torch_name):
+            if cand in state_dict:
+                return np.asarray(state_dict[cand])
+        raise KeyError(f"missing weight: {torch_name}")
+
     params: Dict = {}
     for torch_name, flax_path in mapping.items():
-        candidates = [torch_name, "bert." + torch_name]
-        tensor = None
-        for cand in candidates:
-            if cand in state_dict:
-                tensor = np.asarray(state_dict[cand])
-                break
-        if tensor is None:
-            raise KeyError(f"missing weight: {torch_name}")
+        tensor = fetch(torch_name)
         if flax_path[-1] == "kernel":
             tensor = tensor.T
         node = params
         for k in flax_path[:-1]:
             node = node.setdefault(k, {})
         node[flax_path[-1]] = jnp.asarray(tensor)
+
+    # fused QKV: concat torch's separate q/k/v projections
+    for i in range(config.num_hidden_layers):
+        p = f"encoder.layer.{i}.attention.self."
+        kernel = np.concatenate(
+            [fetch(p + f"{n}.weight").T for n in ("query", "key", "value")],
+            axis=1)
+        bias = np.concatenate(
+            [fetch(p + f"{n}.bias") for n in ("query", "key", "value")])
+        node = params[f"layer_{i}"].setdefault("attention", {})
+        node["qkv"] = {"kernel": jnp.asarray(kernel),
+                       "bias": jnp.asarray(bias)}
     return {"params": params}
 
 

@@ -3,26 +3,32 @@
 
 TPU re-design of the reference's cuDNN RNN usage (ref: Model.py:247-257,
 :437-461). The recurrence is inherently serial in time, so the design
-moves every batched matmul *out* of the scan:
+minimizes what is inside the scan and how many scans run:
 
-- the input projection ``x @ W_ih`` for ALL timesteps is one big
-  ``[bs*T, d_in] x [d_in, 3H]`` MXU matmul before the scan;
-- inside the scan only the small ``[bs, H] x [H, 3H]`` recurrent matmul
-  remains.
+- the input projection ``x @ W_ih`` for ALL timesteps and BOTH directions
+  is hoisted out of the scan as big MXU matmuls;
+- forward and backward directions are FUSED into ONE scan: the hidden
+  state is ``[2, bs, H]`` and the recurrent matmul is a single batched
+  ``[2, bs, H] x [2, H, G*H]`` contraction — one sequential chain per
+  layer instead of two;
+- inside the scan only that small batched matmul + gate nonlinearities
+  remain.
 
 Variable-length masking reproduces torch's
 ``pack_padded_sequence``/``pad_packed_sequence`` semantics
 (ref: Model.py:441-447) with static shapes:
 
-- forward pass: the hidden state freezes once ``t >= length``;
-- backward pass: the state stays at its zero init until the first valid
-  (reversed) step — identical to running the reverse RNN from
+- forward: the hidden state freezes once ``t >= length``;
+- backward: the state stays at its zero init until the first valid
+  (reversed) step — identical to starting the reverse RNN at
   ``t = length-1``;
 - outputs at padded positions are exactly 0 (what pad_packed emits).
 
-The bidirectional outputs of the *last* layer are summed over directions
-by the caller (ref: Model.py:452-453); inner layers feed the concat of
-both directions forward, exactly like torch's stacked bidirectional RNNs.
+Bit-parity with ``torch.nn.GRU/LSTM`` on packed sequences is asserted in
+tests/test_encoders.py. The bidirectional outputs of the *last* layer
+are summed over directions (ref: Model.py:452-453); inner layers feed
+the concat of both directions forward, like torch's stacked
+bidirectional RNNs.
 """
 
 from __future__ import annotations
@@ -45,41 +51,48 @@ def _uniform_init(fan: int):
     return init
 
 
-class _RnnDirection(nn.Module):
-    """One direction of one recurrent layer."""
+class _RnnDirParams(nn.Module):
+    """Parameter container for one direction of one recurrent layer —
+    kept as a submodule so the param tree paths (``l{i}_{fwd,bwd}/w_ih``
+    etc.) are stable for checkpoints and weight converters."""
 
-    cell: str  # 'gru' | 'lstm'
+    d_in: int
     hidden: int
-    reverse: bool
+    n_gates: int
 
     @nn.compact
-    def __call__(self, x: Array, mask: Array) -> Array:
-        """x: [bs, T, d_in]; mask: [bs, T] (1 = valid). Returns [bs, T, H]."""
-        bs, T, d_in = x.shape
+    def __call__(self):
         H = self.hidden
-        n_gates = 3 if self.cell == "gru" else 4
-
-        w_ih = self.param("w_ih", _uniform_init(H), (d_in, n_gates * H))
-        w_hh = self.param("w_hh", _uniform_init(H), (H, n_gates * H))
-        b_ih = self.param("b_ih", _uniform_init(H), (n_gates * H,))
-        b_hh = self.param("b_hh", _uniform_init(H), (n_gates * H,))
-
-        # Hoist the big matmul out of the recurrence (MXU-friendly).
-        x_proj = (
-            jnp.einsum("btd,dg->btg", x, w_ih,
-                       preferred_element_type=jnp.float32)
-            + b_ih
+        G = self.n_gates
+        return (
+            self.param("w_ih", _uniform_init(H), (self.d_in, G * H)),
+            self.param("w_hh", _uniform_init(H), (H, G * H)),
+            self.param("b_ih", _uniform_init(H), (G * H,)),
+            self.param("b_hh", _uniform_init(H), (G * H,)),
         )
-        # time-major for scan
-        x_proj = jnp.swapaxes(x_proj, 0, 1)  # [T, bs, G*H]
-        m = jnp.swapaxes(mask, 0, 1)[..., None]  # [T, bs, 1]
-        if self.reverse:
-            x_proj = x_proj[::-1]
-            m = m[::-1]
 
-        def gru_step(h, inp):
+
+def _fused_bidir_scan(cell: str, H: int, x_proj: Array, w_hh: Array,
+                      b_hh: Array, mask: Array):
+    """One fused forward+backward recurrent scan.
+
+    x_proj: [T, 2, bs, G*H] (input projections; index 1 = direction, with
+    direction 1 already time-reversed). w_hh: [2, H, G*H]. b_hh: [2, G*H].
+    mask: [T, 2, bs, 1]. Returns outputs [T, 2, bs, H] (direction 1 still
+    reversed in time)."""
+    bs = x_proj.shape[2]
+
+    def recur(h):
+        return (
+            jnp.einsum("dbh,dhg->dbg", h, w_hh,
+                       preferred_element_type=jnp.float32)
+            + b_hh[:, None, :]
+        )
+
+    if cell == "gru":
+        def step(h, inp):
             xp, mt = inp
-            hp = jnp.matmul(h, w_hh, preferred_element_type=jnp.float32) + b_hh
+            hp = recur(h)
             xr, xz, xn = jnp.split(xp, 3, axis=-1)
             hr, hz, hn = jnp.split(hp, 3, axis=-1)
             r = jax.nn.sigmoid(xr + hr)
@@ -89,38 +102,36 @@ class _RnnDirection(nn.Module):
             h = jnp.where(mt > 0, h_new, h)
             return h, h * (mt > 0)
 
-        def lstm_step(carry, inp):
-            h, c = carry
-            xp, mt = inp
-            hp = jnp.matmul(h, w_hh, preferred_element_type=jnp.float32) + b_hh
-            xi, xf, xg, xo = jnp.split(xp, 4, axis=-1)
-            hi, hf, hg, ho = jnp.split(hp, 4, axis=-1)
-            i = jax.nn.sigmoid(xi + hi)
-            f = jax.nn.sigmoid(xf + hf)
-            g = jnp.tanh(xg + hg)
-            o = jax.nn.sigmoid(xo + ho)
-            c_new = f * c + i * g
-            h_new = o * jnp.tanh(c_new)
-            valid = mt > 0
-            h = jnp.where(valid, h_new, h)
-            c = jnp.where(valid, c_new, c)
-            return (h, c), h * valid
+        h0 = jnp.zeros((2, bs, H), x_proj.dtype)
+        _, out = jax.lax.scan(step, h0, (x_proj, mask))
+        return out
 
-        h0 = jnp.zeros((bs, H), x_proj.dtype)
-        if self.cell == "gru":
-            _, out = jax.lax.scan(gru_step, h0, (x_proj, m))
-        else:
-            _, out = jax.lax.scan(lstm_step, (h0, h0), (x_proj, m))
+    def lstm_step(carry, inp):
+        h, c = carry
+        xp, mt = inp
+        hp = recur(h)
+        xi, xf, xg, xo = jnp.split(xp, 4, axis=-1)
+        hi, hf, hg, ho = jnp.split(hp, 4, axis=-1)
+        i = jax.nn.sigmoid(xi + hi)
+        f = jax.nn.sigmoid(xf + hf)
+        g = jnp.tanh(xg + hg)
+        o = jax.nn.sigmoid(xo + ho)
+        c_new = f * c + i * g
+        h_new = o * jnp.tanh(c_new)
+        valid = mt > 0
+        h = jnp.where(valid, h_new, h)
+        c = jnp.where(valid, c_new, c)
+        return (h, c), h * valid
 
-        if self.reverse:
-            out = out[::-1]
-        return jnp.swapaxes(out, 0, 1)  # [bs, T, H]
+    h0 = jnp.zeros((2, bs, H), x_proj.dtype)
+    _, out = jax.lax.scan(lstm_step, (h0, h0), (x_proj, mask))
+    return out
 
 
 class BiRnnEncoder(nn.Module):
-    """Stacked bidirectional GRU/LSTM. Returns the last layer's
-    fwd/bwd outputs *summed* (ref: Model.py:452-453 splits the 2H concat
-    and sums the directions)."""
+    """Stacked bidirectional GRU/LSTM with fused-direction scans.
+    Returns the last layer's fwd/bwd outputs *summed*
+    (ref: Model.py:452-453 splits the 2H concat and sums)."""
 
     cell: str  # 'gru' | 'lstm'
     hidden: int
@@ -128,11 +139,36 @@ class BiRnnEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array, mask: Array) -> Array:
+        """x: [bs, T, d_in]; mask: [bs, T] (1 = valid)."""
+        H = self.hidden
+        n_gates = 3 if self.cell == "gru" else 4
+        T = x.shape[1]
+
+        m_f = jnp.swapaxes(mask, 0, 1)[..., None]  # [T, bs, 1]
+        m_b = m_f[::-1]
+        m = jnp.stack([m_f, m_b], axis=1)  # [T, 2, bs, 1]
+
         for layer in range(self.num_layers):
-            fwd = _RnnDirection(self.cell, self.hidden, reverse=False,
-                                name=f"l{layer}_fwd")(x, mask)
-            bwd = _RnnDirection(self.cell, self.hidden, reverse=True,
-                                name=f"l{layer}_bwd")(x, mask)
+            d_in = x.shape[-1]
+            pf = _RnnDirParams(d_in, H, n_gates, name=f"l{layer}_fwd")()
+            pb = _RnnDirParams(d_in, H, n_gates, name=f"l{layer}_bwd")()
+            w_ih = jnp.stack([pf[0], pb[0]])  # [2, d_in, G*H]
+            w_hh = jnp.stack([pf[1], pb[1]])  # [2, H, G*H]
+            b_ih = jnp.stack([pf[2], pb[2]])  # [2, G*H]
+            b_hh = jnp.stack([pf[3], pb[3]])
+
+            # hoisted input projections for both directions (MXU)
+            xp = (
+                jnp.einsum("btd,zdg->btzg", x, w_ih,
+                           preferred_element_type=jnp.float32)
+                + b_ih[None, None]
+            )  # [bs, T, 2, G*H]
+            xp = jnp.moveaxis(xp, 0, 2)  # [T, 2, bs, G*H]
+            xp = xp.at[:, 1].set(xp[::-1, 1])  # reverse time for bwd dir
+
+            out = _fused_bidir_scan(self.cell, H, xp, w_hh, b_hh, m)
+            fwd = jnp.swapaxes(out[:, 0], 0, 1)  # [bs, T, H]
+            bwd = jnp.swapaxes(out[::-1, 1], 0, 1)
             last = layer == self.num_layers - 1
             x = fwd + bwd if last else jnp.concatenate([fwd, bwd], axis=-1)
         return x

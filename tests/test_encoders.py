@@ -11,7 +11,6 @@ import pytest
 from mimrl_tpu.models.encoders import (
     BiRnnEncoder,
     ConvEncoder,
-    _RnnDirection,
     lengths_from_sequence,
     prefix_mask,
 )
