@@ -195,3 +195,41 @@ def compute_mi(
     else:
         raise NotImplementedError(estimation)
     return mi_score, history_mi
+
+
+class EMA:
+    """Weight EMA over a params pytree (toolkit parity with the
+    reference's EMA class, ref: VMI.py:253-284). Functional: returns new
+    pytrees instead of mutating module state.
+
+    shadow = register(params); shadow = update(params, shadow);
+    params' = shadow (apply_shadow); restore is the caller keeping its
+    pre-apply params."""
+
+    def __init__(self, decay: float):
+        self.decay = decay
+
+    def register(self, params):
+        return jax.tree_util.tree_map(jnp.asarray, params)
+
+    def update(self, params, shadow):
+        return jax.tree_util.tree_map(
+            lambda p, s: (1.0 - self.decay) * p + self.decay * s,
+            params, shadow)
+
+
+def show_history_mi(history_mi, mi_score, true_mi):
+    """Plot an MI training history against the estimate and ground truth
+    (ref: VMI.py:381-387). Requires matplotlib; display-only utility."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    plt.plot(history_mi)
+    plt.hlines(mi_score, 0, len(history_mi))
+    plt.text(10, mi_score + np.max(history_mi) / 50,
+             str(np.round(mi_score, 2)))
+    plt.title("Mutual information estimation, true MI is "
+              + str(np.round(true_mi, 2)))
+    return plt.gcf()

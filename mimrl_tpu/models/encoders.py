@@ -103,7 +103,9 @@ def _fused_bidir_scan(cell: str, H: int, x_proj: Array, w_hh: Array,
             return h, h * (mt > 0)
 
         h0 = jnp.zeros((2, bs, H), x_proj.dtype)
-        _, out = jax.lax.scan(step, h0, (x_proj, mask))
+        # unroll amortizes per-iteration scan overhead over the tiny
+        # recurrent matmuls (the serial chain is the bottleneck, not FLOPs)
+        _, out = jax.lax.scan(step, h0, (x_proj, mask), unroll=4)
         return out
 
     def lstm_step(carry, inp):
@@ -124,7 +126,7 @@ def _fused_bidir_scan(cell: str, H: int, x_proj: Array, w_hh: Array,
         return (h, c), h * valid
 
     h0 = jnp.zeros((2, bs, H), x_proj.dtype)
-    _, out = jax.lax.scan(lstm_step, (h0, h0), (x_proj, mask))
+    _, out = jax.lax.scan(lstm_step, (h0, h0), (x_proj, mask), unroll=4)
     return out
 
 

@@ -109,17 +109,15 @@ def test_interpolate_loomean_finite():
         ("js", "separate", "constant"),
         ("smile", "concat", "constant"),
         ("tuba", "separate", "unnormalized"),
-        ("interpolate", "separate", "unnormalized"),
         ("mine", "separate", "constant"),
         ("dv", "separate", "constant"),
-        ("js_fgan", "separate", "constant"),
     ],
 )
 def test_gaussian_mi_recovery(bound, critic, baseline):
-    """Train each bound on correlated Gaussians; the estimate must land in
-    a loose but meaningful window around the analytic MI."""
+    """Train each MI-scale bound on correlated Gaussians; the estimate
+    must land in a loose but meaningful window around the analytic MI."""
     dim, rho = 5, 0.7
-    true_mi = rho_to_mi(dim, rho)  # ~1.31 nats
+    true_mi = rho_to_mi(dim, rho)  # ~1.68 nats
     key = jax.random.PRNGKey(0)
     kd, kt = jax.random.split(key)
     x, y = sample_correlated_gaussian(kd, rho=rho, dim=dim, num_samples=2048)
@@ -130,9 +128,42 @@ def test_gaussian_mi_recovery(bound, critic, baseline):
         weight_decay=0.9,
     )
     # lower-bound-ish estimators under-shoot; all must clearly separate
-    # dependent data (MI ~1.31) from independence (MI 0).
+    # dependent data (MI ~1.68) from independence (MI 0).
     assert mi_score > 0.35 * true_mi, (bound, mi_score, true_mi)
     assert mi_score < 2.5 * true_mi, (bound, mi_score, true_mi)
+
+
+def test_gaussian_js_fgan_signal():
+    """js_fgan maximizes a Jensen-Shannon objective, NOT an MI-scale
+    quantity: its optimum is <= 0 and its value at an uninformative
+    critic is -2 log 2 ~ -1.386. Dependent data must push it clearly
+    above that floor."""
+    key = jax.random.PRNGKey(0)
+    kd, kt = jax.random.split(key)
+    x, y = sample_correlated_gaussian(kd, rho=0.7, dim=5, num_samples=2048)
+    mi_score, _ = compute_mi(
+        kt, "separate", "constant", "js_fgan", np.asarray(x), np.asarray(y),
+        epochs=60, batch_size=256, lr=2e-3, estimation="max",
+        weight_decay=0.9)
+    assert -1.0 < mi_score <= 0.05, mi_score
+
+
+def test_gaussian_interpolate_recovery():
+    """The interpolated bound is high-variance early in training
+    (exp of unclipped scores); estimate from the smoothed tail instead
+    of the max (its intended usage per VMI.py:360: 'For MI estimation
+    purpose, use interpolated bound with a low alpha')."""
+    dim, rho = 5, 0.7
+    true_mi = rho_to_mi(dim, rho)
+    key = jax.random.PRNGKey(0)
+    kd, kt = jax.random.split(key)
+    x, y = sample_correlated_gaussian(kd, rho=rho, dim=dim, num_samples=2048)
+    mi_score, history = compute_mi(
+        kt, "separate", "unnormalized", "interpolate", np.asarray(x),
+        np.asarray(y), epochs=60, batch_size=256, lr=5e-4,
+        alpha_logit=-2.0, estimation="mean", weight_decay=0.98)
+    assert mi_score > 0.3 * true_mi, (mi_score, true_mi)
+    assert mi_score < 3.0 * true_mi, (mi_score, true_mi)
 
 
 def test_independent_gaussian_mi_near_zero():
