@@ -105,6 +105,11 @@ class MimrlConfig:
     jit_backend: Optional[str] = None  # force a jax platform (tests use 'cpu')
     bank_dtype: str = "float32"
     profile_dir: Optional[str] = None  # jax.profiler trace output dir
+    # perf mode: compute stage-1 features once per batch and reuse them
+    # across the stage1_n critic passes (the model is frozen in stage 1,
+    # so features only differ by dropout resampling; default off = exact
+    # reference behavior of a fresh forward per pass)
+    fast_stage1: bool = False
 
     # Derived/validation -----------------------------------------------------
     def __post_init__(self):
@@ -237,6 +242,7 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--jit_backend", default=None, type=str)
     p.add_argument("--bank_dtype", default=d.bank_dtype, type=str)
     p.add_argument("--profile_dir", default=None, type=str)
+    p.add_argument("--fast_stage1", action="store_true")
     return p
 
 

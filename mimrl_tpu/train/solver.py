@@ -228,19 +228,42 @@ class Solver:
 
         # Stage 1 (skipped at epoch 0, ref: Solver.py:201-203)
         if epoch > 0 and self.have_bank:
-            for _ in range(opt.stage1_n):
-                mi_losses = []
+            if opt.fast_stage1:
+                # one forward per batch, stage1_n critic updates on the
+                # cached features (--fast_stage1 perf mode)
+                cached = []
                 for batch in self.train_loader:
                     model_batch, labels_dev, _ = self._prep(batch)
-                    (self.params_vmi, self.opt_vmi_state, loss, _mis) = (
-                        self.steps.critic_step(
-                            self.params_main, self.params_bert,
-                            self.params_vmi, self.opt_vmi_state, model_batch,
-                            labels_dev, self.bank, self._next_rng()))
-                    mi_losses.append(loss)
-                    if opt.check_gradient:
-                        self._log_gradients(model_batch, labels_dev, 1)
+                    feats = self.steps.features_step(
+                        self.params_main, self.params_bert, self.params_vmi,
+                        model_batch, self._next_rng())
+                    cached.append((feats, labels_dev))
+                mi_losses = []
+                for _ in range(opt.stage1_n):
+                    for feats, labels_dev in cached:
+                        (self.params_vmi, self.opt_vmi_state, loss, _mis) = (
+                            self.steps.critic_update(
+                                self.params_main, self.params_bert,
+                                self.params_vmi, self.opt_vmi_state, feats,
+                                labels_dev, self.bank, self._next_rng()))
+                        mi_losses.append(loss)
                 running_loss_mi += float(np.sum([float(l) for l in mi_losses]))
+            else:
+                for _ in range(opt.stage1_n):
+                    mi_losses = []
+                    for batch in self.train_loader:
+                        model_batch, labels_dev, _ = self._prep(batch)
+                        (self.params_vmi, self.opt_vmi_state, loss, _mis) = (
+                            self.steps.critic_step(
+                                self.params_main, self.params_bert,
+                                self.params_vmi, self.opt_vmi_state,
+                                model_batch, labels_dev, self.bank,
+                                self._next_rng()))
+                        mi_losses.append(loss)
+                        if opt.check_gradient:
+                            self._log_gradients(model_batch, labels_dev, 1)
+                    running_loss_mi += float(
+                        np.sum([float(l) for l in mi_losses]))
 
         # Stage 2
         use_mi = self.have_bank

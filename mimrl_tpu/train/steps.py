@@ -221,6 +221,31 @@ class StepFactory:
                 mis = jnp.zeros((8,), jnp.float32)
             return loss, mis, out, (F_F, T_F, A_F, V_F)
 
+        # ------- fast stage 1: forward once, update critics many times ------- #
+        def features_step(params_main, params_bert, params_vmi, batch, rng):
+            merged = merge_params(params_main, params_bert, params_vmi)
+            out, F_F, T_F, A_F, V_F = forward(merged, batch, rng,
+                                              deterministic=False)
+            return jax.lax.stop_gradient((F_F, T_F, A_F, V_F))
+
+        def critic_update(params_main, params_bert, params_vmi, opt_state,
+                          feats, labels, bank, rng):
+            """Stage-1 update from precomputed features (--fast_stage1)."""
+            knn = sample_all_knn(rng, bank, cfg.batch_size, cfg.k_neighbor,
+                                 cfg.radius)
+
+            def loss_fn(p_vmi):
+                merged_v = merge_params(params_main, params_bert, p_vmi)
+                mis, losses = stage_loss(merged_v, labels, feats, knn, 1)
+                total = sum(l * c for l, c in zip(losses, c1))
+                return total, mis
+
+            (loss, mis), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params_vmi)
+            updates, opt_state = opt_vmi.update(grads, opt_state, params_vmi)
+            params_vmi = optax.apply_updates(params_vmi, updates)
+            return params_vmi, opt_state, loss, jnp.stack(mis)
+
         # ---------------- gradient debug (--check_gradient) ---------------- #
         def grad_debug_step(params_main, params_bert, params_vmi, batch,
                             labels, bank, rng, stage: int):
@@ -253,6 +278,8 @@ class StepFactory:
             }
 
         self.critic_step = jax.jit(critic_step, donate_argnums=(2, 3))
+        self.features_step = jax.jit(features_step)
+        self.critic_update = jax.jit(critic_update, donate_argnums=(2, 3))
         self.grad_debug_step = jax.jit(grad_debug_step,
                                        static_argnames=("stage",))
         self.train_step = jax.jit(train_step, static_argnames=("use_mi",),

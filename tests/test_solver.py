@@ -103,6 +103,22 @@ def test_resume(dec_root, tmp_path_factory):
     assert best[0] is not None
 
 
+def test_fast_stage1_mode(dec_root, tmp_path_factory):
+    """--fast_stage1 runs the cached-features critic path and still
+    produces active MI telemetry after epoch 0."""
+    import json
+
+    task_dir = str(tmp_path_factory.mktemp("fast"))
+    cfg = tiny_cfg(dec_root, task_dir, epochs_num=2, task_name="f",
+                   fast_stage1=True, stage1_n=2)
+    best = Solver(cfg).solve()
+    assert best[0] is not None and np.isfinite(best[0]["mae"])
+    scalars = [json.loads(l) for l in
+               open(os.path.join(task_dir, "f", "scalars.jsonl"))]
+    mi_ft = [s for s in scalars if s["tag"] == "Train/MI_ft"]
+    assert mi_ft[1]["value"] != 0.0
+
+
 def test_loss_decreases_on_learnable_synthetic(dec_root, tmp_path_factory):
     """Convergence: labels correlate with audio features, so 4 epochs of
     task-loss training must beat the epoch-0 loss."""
