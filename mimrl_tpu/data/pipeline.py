@@ -23,6 +23,8 @@ Design decisions (documented divergences from the reference):
 
 from __future__ import annotations
 
+import queue
+import threading
 from dataclasses import dataclass, field
 from typing import Dict, Iterator, List, Optional
 
@@ -184,3 +186,30 @@ class BatchPipeline:
             if self._text_feat is not None:
                 batch["text"] = self._text_feat[idx]
             yield batch
+
+
+def prefetch(iterator: Iterator, size: int = 2) -> Iterator:
+    """Run an iterator on a background thread with a bounded queue —
+    the double-buffering role of torch DataLoader workers
+    (ref: num_workers/pin_memory flags, Parameters.py:18-20). Host batch
+    assembly overlaps device compute; exceptions propagate."""
+    q: "queue.Queue" = queue.Queue(maxsize=size)
+    _END = object()
+
+    def producer():
+        try:
+            for item in iterator:
+                q.put(item)
+            q.put(_END)
+        except BaseException as e:  # propagate into the consumer
+            q.put(e)
+
+    thread = threading.Thread(target=producer, daemon=True)
+    thread.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            break
+        if isinstance(item, BaseException):
+            raise item
+        yield item

@@ -28,6 +28,7 @@ import numpy as np
 from mimrl_tpu.core.checkpoint import CheckpointManager
 from mimrl_tpu.core.config import MimrlConfig
 from mimrl_tpu.core.logging import ScalarWriter, log_message, set_logger
+from mimrl_tpu.data.pipeline import prefetch
 from mimrl_tpu.data.tokenizer import build_tokenizer
 from mimrl_tpu.data.universal import get_data_loader
 from mimrl_tpu.eval.metrics import current_result_better, get_score_from_result
@@ -272,7 +273,9 @@ class Solver:
             opt.d_common)
         offset = 0
         step_losses, step_mis = [], []
-        for batch in self.train_loader:
+        train_iter = (prefetch(iter(self.train_loader), 2)
+                      if opt.num_workers > 0 else self.train_loader)
+        for batch in train_iter:
             model_batch, labels_dev, labels_np = self._prep(batch)
             (self.params_main, self.params_bert, self.opt_main_state, loss,
              mis, out, new_bank) = self.steps.train_step(
@@ -316,7 +319,9 @@ class Solver:
         use_mi = self.have_bank
         losses, mis_list = [], []
         predictions, targets, features = [], [], []
-        for batch in loader:
+        loader_iter = (prefetch(iter(loader), 2)
+                       if opt.num_workers > 0 else loader)
+        for batch in loader_iter:
             model_batch, labels_dev, labels_np = self._prep(batch)
             loss, mis, out, feats = self.steps.eval_step(
                 self.params_main, self.params_bert, self.params_vmi,
