@@ -33,6 +33,13 @@ def main(argv=None):
         import jax
 
         jax.config.update("jax_platforms", opt.jit_backend)
+    if opt.distributed:
+        # one JAX process per host; env-based coordinator discovery
+        # (the TPU-native replacement for the reference's single-process
+        # DataParallel, SURVEY.md §2.8)
+        import jax
+
+        jax.distributed.initialize()
     from mimrl_tpu.train.solver import Solver
 
     solver = Solver(opt)

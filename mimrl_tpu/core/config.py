@@ -110,6 +110,9 @@ class MimrlConfig:
     # so features only differ by dropout resampling; default off = exact
     # reference behavior of a fresh forward per pass)
     fast_stage1: bool = False
+    # multi-host: call jax.distributed.initialize() before building the
+    # mesh (one process per host on a TPU pod slice)
+    distributed: bool = False
 
     # Derived/validation -----------------------------------------------------
     def __post_init__(self):
@@ -243,6 +246,7 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--bank_dtype", default=d.bank_dtype, type=str)
     p.add_argument("--profile_dir", default=None, type=str)
     p.add_argument("--fast_stage1", action="store_true")
+    p.add_argument("--distributed", action="store_true")
     return p
 
 

@@ -24,6 +24,9 @@ def set_logger(log_path: str) -> None:
     skips the file handler when anything else configured logging first."""
     logger = logging.getLogger()
     logger.setLevel(logging.DEBUG)
+    # third-party atexit debug logs (jax backend teardown) may fire after
+    # the run dir is gone; don't let a closed file handler raise
+    logging.raiseExceptions = False
     for h in list(logger.handlers):
         if getattr(h, "_mimrl_handler", False):
             logger.removeHandler(h)

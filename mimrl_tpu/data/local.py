@@ -29,7 +29,7 @@ import numpy as np
 from mimrl_tpu.data import registry
 from mimrl_tpu.data.pipeline import ArrayDataset
 from mimrl_tpu.data.preprocess import apply_standard_pipeline
-from mimrl_tpu.data.sdk import mosi_r2c_7, pom_r2c_7  # canonical duplicates
+from mimrl_tpu.data.sdk import pom_r2c_7  # canonical duplicate
 
 LOCAL_DATASETS = [
     "mosi_20", "mosi_50", "mosei_20", "mosei_50", "youtube", "youtubev2",

@@ -22,7 +22,7 @@ implements the same block; see `use_pallas`.
 
 from __future__ import annotations
 
-from typing import List, Sequence
+from typing import Sequence
 
 import flax.linen as nn
 import jax

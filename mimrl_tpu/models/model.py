@@ -26,7 +26,7 @@ documented):
 
 from __future__ import annotations
 
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, Sequence
 
 import flax.linen as nn
 import jax
