@@ -80,8 +80,14 @@ class AxisMLP(nn.Module):
             from mimrl_tpu.ops.pallas.cubemlp_kernel import fused_axis_mlp
 
             interpret = jax.devices()[0].platform == "cpu"
-            return fused_axis_mlp(x, w1, w2, b1, b2, self.axis,
-                                  self.activate, interpret=interpret)
+            # On TPU the Mosaic-compiled fast path covers the channel
+            # (D) mix — the FLOP-dominant contraction; the tiny L/K
+            # mixes stay on the XLA einsum (their Pallas layouts would
+            # violate tiling constraints). Interpret mode covers all
+            # axes for testing.
+            if interpret or self.axis == 3:
+                return fused_axis_mlp(x, w1, w2, b1, b2, self.axis,
+                                      self.activate, interpret=interpret)
 
         h = jnp.einsum(eqn, x, w1, preferred_element_type=jnp.float32)
         if self.use_bias:

@@ -30,6 +30,15 @@ from mimrl_tpu.utils.activations import get_activation_fn
 Array = jax.Array
 
 
+def _kernel_activation(name: str):
+    """Pallas-TPU-safe activation: exact (erf) gelu has no Mosaic
+    lowering, so kernels use the tanh approximation (max abs deviation
+    ~1e-3 over [-6, 6]); everything else matches the registry."""
+    if name == "gelu":
+        return lambda x: jax.nn.gelu(x, approximate=True)
+    return get_activation_fn(name)
+
+
 def _pick_batch_tile(bs: int, l: int, k: int, d: int, h: int,
                      vmem_budget: int = 8 * 1024 * 1024) -> int:
     """Largest power-of-two batch tile whose x+h+y footprint fits VMEM."""
@@ -43,13 +52,36 @@ def _pick_batch_tile(bs: int, l: int, k: int, d: int, h: int,
 
 def _kernel(x_ref, w1_ref, w2_ref, b1_ref, b2_ref, out_ref, *, axis: int,
             activate: str, use_bias: bool):
+    """Fused 2-matmul axis MLP on one batch tile.
+
+    Two formulations:
+    - axis == 3 (channel mix, the FLOP-dominant case): the tile is
+      viewed as a 2-D ``[TB*L*K, D]`` matrix and both contractions are
+      plain MXU matmuls — the Mosaic-friendly layout (last dim on
+      lanes, rows on sublanes).
+    - axis in (1, 2): dot_general over the 4-D view (used by interpret
+      mode / backends that lower it; the TPU module path routes these
+      axes to the XLA einsum instead — see AxisMLP).
+    """
     x = x_ref[:]  # [TB, L, K, D]
     w1 = w1_ref[:]
     w2 = w2_ref[:]
-    act = get_activation_fn(activate)
+    act = _kernel_activation(activate)
 
-    # contract `axis` of x with w[axis_in, axis_out]; dot_general puts the
-    # new axis last, so move it back where it came from.
+    if axis == 3:
+        TB, L, K, D = x.shape
+        x2 = x.reshape(TB * L * K, D)
+        h = jnp.dot(x2, w1, preferred_element_type=jnp.float32)
+        if use_bias:
+            h = h + b1_ref[:][None, :]
+        h = act(h)
+        y = jnp.dot(h, w2, preferred_element_type=jnp.float32)
+        if use_bias:
+            y = y + b2_ref[:][None, :]
+        out_ref[:] = y.reshape(TB, L, K, w2.shape[1])
+        return
+
+    # generic axis contraction (interpret mode / non-TPU backends)
     def mix(t, w):
         nd = t.ndim
         out = jax.lax.dot_general(
@@ -157,7 +189,7 @@ def _fused_fwd(x, w1, w2, b1, b2, axis, activate, interpret):
 def _fused_bwd(axis, activate, interpret, res, dy):
     del interpret
     x, w1, w2, b1 = res
-    act = get_activation_fn(activate)
+    act = _kernel_activation(activate)
 
     def bias(b, like):
         shape = [1] * like.ndim

@@ -28,7 +28,9 @@ def test_fused_axis_mlp_matches_einsum(axis, use_bias):
     y_pallas = fused_axis_mlp(
         x, p["w1"], p["w2"],
         p.get("b1"), p.get("b2"), axis, "gelu", interpret=True)
-    assert np.allclose(np.asarray(y_ref), np.asarray(y_pallas), atol=1e-5), (
+    # kernels use tanh-approximate gelu (exact erf has no Pallas TPU
+    # lowering) -> small tolerance
+    assert np.allclose(np.asarray(y_ref), np.asarray(y_pallas), atol=5e-3), (
         np.abs(np.asarray(y_ref) - np.asarray(y_pallas)).max())
 
 
@@ -60,7 +62,7 @@ def test_full_encoder_pallas_equivalence():
     y1 = enc_ref.apply(params, x, deterministic=True)
     y2 = enc_pal.apply(params, x, deterministic=True)
     assert y1.shape == y2.shape == (4, 4, 2, 8)
-    assert np.allclose(np.asarray(y1), np.asarray(y2), atol=1e-4), (
+    assert np.allclose(np.asarray(y1), np.asarray(y2), atol=2e-2), (
         np.abs(np.asarray(y1) - np.asarray(y2)).max())
 
 
@@ -84,10 +86,10 @@ def test_fused_kernel_differentiable():
     g1, g2 = jax.grad(f, argnums=(0, 1))(w1, w2)
     assert np.isfinite(np.asarray(g1)).all()
     assert np.isfinite(np.asarray(g2)).all()
-    # check against einsum path gradients
+    # check against einsum path gradients (same approximate gelu)
     def f_ref(w1, w2):
         h = jax.nn.gelu(jnp.einsum("blkd,lh->bhkd", x, w1),
-                        approximate=False)
+                        approximate=True)
         return jnp.sum(jnp.einsum("bhkd,hl->blkd", h, w2))
 
     r1, r2 = jax.grad(f_ref, argnums=(0, 1))(w1, w2)

@@ -17,7 +17,9 @@ def roots(tmp_path_factory):
     make_dec_fixture(str(dec), "mosi", n_per_split=(24, 8, 8), d_audio=5,
                      d_video=20, seed=5)
     avec = tmp_path_factory.mktemp("avec2")
-    make_avec_fixture(str(avec), n_per_split=(16, 8, 8), d_mfcc=8, d_au=6,
+    # dims must match the registry (avec mfcc=39, au=49) since the model
+    # is sized from registry.dataset_dimensions
+    make_avec_fixture(str(avec), n_per_split=(16, 8, 8), d_mfcc=39, d_au=49,
                       seed=5)
     return str(dec), str(avec)
 
