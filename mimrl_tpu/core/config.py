@@ -113,6 +113,10 @@ class MimrlConfig:
     # multi-host: call jax.distributed.initialize() before building the
     # mesh (one process per host on a TPU pod slice)
     distributed: bool = False
+    # 'latest' checkpoint cadence in epochs (0 = only at the end). Each
+    # save pulls the full state (params + both optimizer moments) to the
+    # host, which is expensive on tunneled/remote devices.
+    save_latest_every: int = 5
 
     # Derived/validation -----------------------------------------------------
     def __post_init__(self):
@@ -247,6 +251,8 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--profile_dir", default=None, type=str)
     p.add_argument("--fast_stage1", action="store_true")
     p.add_argument("--distributed", action="store_true")
+    p.add_argument("--save_latest_every", default=d.save_latest_every,
+                   type=int)
     return p
 
 

@@ -222,6 +222,7 @@ class Solver:
         """One epoch: stage 1 (critics) x stage1_n, then stage 2 (main)
         (ref: Solver.py:194-248)."""
         opt = self.opt
+        t_stage1 = time.time()
         running_loss, running_loss_mi = 0.0, 0.0
         mis_sum = np.zeros(8)
         predictions: List[np.ndarray] = []
@@ -266,6 +267,10 @@ class Solver:
                     running_loss_mi += float(
                         np.sum([float(l) for l in mi_losses]))
 
+        jax.block_until_ready(jax.tree_util.tree_leaves(self.params_vmi)[0])
+        t_stage2 = time.time()
+        log_message(f"  stage1: {t_stage2 - t_stage1:.2f}s")
+
         # Stage 2
         use_mi = self.have_bank
         new_bank = FeatureBank.create(
@@ -291,6 +296,8 @@ class Solver:
             targets.append(labels_np[mask])
             offset += opt.batch_size
 
+        jax.block_until_ready(jax.tree_util.tree_leaves(self.params_main)[0])
+        log_message(f"  stage2: {time.time() - t_stage2:.2f}s")
         n = len(self.train_loader)
         running_loss = float(np.sum([float(l) for l in step_losses]))
         mis_sum = np.sum([np.asarray(m) for m in step_mis], axis=0)
@@ -347,6 +354,25 @@ class Solver:
                 features if opt.save_best_features else None)
 
     # ------------------------------------------------------------------ #
+    def _device_snapshot(self, epoch: int):
+        """Device-resident snapshot: fresh HBM copies (cheap, ~ms) so the
+        jitted steps' donations can't invalidate them. Converted to host
+        arrays only when actually written to disk."""
+        copy = lambda t: jax.tree_util.tree_map(
+            lambda x: jnp.array(x, copy=True) if hasattr(x, "dtype") else x,
+            t)
+        return {
+            "epoch": epoch,
+            "params_main": copy(self.params_main),
+            "params_bert": copy(self.params_bert),
+            "params_vmi": copy(self.params_vmi),
+            "opt_main_state": copy(self.opt_main_state),
+            "opt_vmi_state": copy(self.opt_vmi_state),
+            "bank": copy(self.bank),
+            "lr_factor": self.lr_schedule.factor,
+            "global_step": self.global_step,
+        }
+
     def _state_dict(self, epoch: int):
         """Host-materialized snapshot: the jitted steps donate their
         param/optimizer buffers, so a snapshot holding live device arrays
@@ -416,7 +442,7 @@ class Solver:
             if current_result_better(best_score[0], val_score, opt.task,
                                      opt.num_class, opt.dataset):
                 log_message("Better valid score found...")
-                best_valid_state = self._state_dict(epoch)
+                best_valid_state = self._device_snapshot(epoch)
                 best_score[0], best_predictions[0], best_features[0] = (
                     val_score, val_predictions, val_features)
                 best_score[2], best_predictions[2], best_features[2] = (
@@ -425,7 +451,7 @@ class Solver:
             if current_result_better(best_score[1], test_score, opt.task,
                                      opt.num_class, opt.dataset):
                 log_message("Better test score found...")
-                best_test_state = self._state_dict(epoch)
+                best_test_state = self._device_snapshot(epoch)
                 best_score[1], best_predictions[1], best_features[1] = (
                     test_score, test_predictions, test_features)
                 best_targets[1] = test_targets
@@ -439,7 +465,10 @@ class Solver:
             self.log_tf_board(epoch, train_loss, train_mis, train_score,
                               val_loss, val_mis, val_score, test_loss,
                               test_mis, test_score)
-            self.ckpt.save("latest", self._state_dict(epoch))
+            if opt.save_latest_every > 0 and (
+                    epoch % opt.save_latest_every == opt.save_latest_every - 1
+                    or epoch == opt.epochs_num - 1):
+                self.ckpt.save("latest", self._state_dict(epoch))
             if profiling:
                 jax.profiler.stop_trace()
                 profiling = False
@@ -528,6 +557,6 @@ class Solver:
                           "wb") as f:
                     pickle.dump(feats, f)
         if best_valid_state is not None:
-            self.ckpt.save("best_valid", best_valid_state)
+            self.ckpt.save("best_valid", jax.device_get(best_valid_state))
         if best_test_state is not None:
-            self.ckpt.save("best_test", best_test_state)
+            self.ckpt.save("best_test", jax.device_get(best_test_state))
