@@ -291,9 +291,10 @@ class Solver:
             step_mis.append(mis)
             if opt.check_gradient and use_mi:
                 self._log_gradients(model_batch, labels_dev, 2)
-            mask = batch["sample_mask"] > 0.5
-            predictions.append(np.asarray(out)[mask])
-            targets.append(labels_np[mask])
+            # keep device arrays; converting here would synchronize the
+            # host on every step and break dispatch pipelining
+            predictions.append((out, batch["sample_mask"] > 0.5))
+            targets.append(labels_np)
             offset += opt.batch_size
 
         jax.block_until_ready(jax.tree_util.tree_leaves(self.params_main)[0])
@@ -304,8 +305,10 @@ class Solver:
 
         self.bank = new_bank
         self.have_bank = True
-        predictions = np.concatenate(predictions)
-        targets = np.concatenate(targets)
+        masks = [m for _, m in predictions]
+        predictions = np.concatenate(
+            [np.asarray(o)[m] for o, m in predictions])
+        targets = np.concatenate([t[m] for t, m in zip(targets, masks)])
         train_score = get_score_from_result(
             predictions, targets, opt.dataset, opt.task, opt.num_class)
         return (running_loss / n, running_loss_mi / n,
@@ -337,14 +340,18 @@ class Solver:
             losses.append(loss)
             mis_list.append(mis)
             mask = batch["sample_mask"] > 0.5
-            predictions.append(np.asarray(out)[mask])
-            targets.append(labels_np[mask])
+            predictions.append((out, mask))
+            targets.append(labels_np)
             if opt.save_best_features:
-                features.append([np.asarray(f)[mask] for f in feats])
+                features.append(([np.asarray(f) for f in feats], mask))
 
         n = len(loader)
-        predictions = np.concatenate(predictions)
-        targets = np.concatenate(targets)
+        masks = [m for _, m in predictions]
+        predictions = np.concatenate(
+            [np.asarray(o)[m] for o, m in predictions])
+        targets = np.concatenate([t[m] for t, m in zip(targets, masks)])
+        if opt.save_best_features:
+            features = [[f[m] for f in fl] for fl, m in features]
         score = get_score_from_result(predictions, targets, opt.dataset,
                                       opt.task, opt.num_class)
         avg_loss = float(np.sum([float(l) for l in losses])) / n
