@@ -117,6 +117,10 @@ class MimrlConfig:
     # save pulls the full state (params + both optimizer moments) to the
     # host, which is expensive on tunneled/remote devices.
     save_latest_every: int = 5
+    # run each training/eval stage as ONE scanned XLA program per epoch
+    # (host stacks the epoch's batches and dispatches once); implies the
+    # fast_stage1 feature-reuse semantics for stage 1
+    epoch_scan: bool = False
 
     # Derived/validation -----------------------------------------------------
     def __post_init__(self):
@@ -253,6 +257,7 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--distributed", action="store_true")
     p.add_argument("--save_latest_every", default=d.save_latest_every,
                    type=int)
+    p.add_argument("--epoch_scan", action="store_true")
     return p
 
 

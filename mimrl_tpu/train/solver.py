@@ -217,6 +217,47 @@ class Solver:
         self.global_step += 1
         return jax.random.fold_in(self.loop_rng, self.global_step)
 
+    def _stack_epoch(self, loader):
+        """Stack one epoch of batches into [NB, bs, ...] arrays for the
+        epoch-scan programs (--epoch_scan). The whole epoch's inputs are
+        a few MB at these dataset sizes, so one transfer replaces NB."""
+        fields = ("bert_sentences", "bert_sentence_types",
+                  "bert_sentence_att_mask", "audio", "video", "sample_mask")
+        cols = {k: [] for k in fields}
+        labels_list, labels_np, masks = [], [], []
+        for batch in loader:
+            if "bert_sentences" not in batch:
+                raise NotImplementedError(
+                    "feature-mode text inputs reach a dead path in the "
+                    "reference (Customization.py:86); use --text text")
+            for k in fields:
+                cols[k].append(batch[k])
+            lab = np.asarray(self.get_label_from_datas(batch))
+            labels_np.append(lab)
+            labels_list.append(lab.astype(
+                np.int32 if self.opt.task == "classification"
+                else np.float32))
+            masks.append(batch["sample_mask"] > 0.5)
+        batches = {k: np.stack(v) for k, v in cols.items()}
+        labels_stack = np.stack(labels_list)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from mimrl_tpu.parallel.mesh import DATA_AXIS
+
+            n_data = self.mesh.shape[DATA_AXIS]
+
+            def place(x):
+                if x.ndim >= 2 and x.shape[1] % n_data == 0:
+                    spec = P(None, DATA_AXIS)
+                else:
+                    spec = P()
+                return jax.device_put(x, NamedSharding(self.mesh, spec))
+
+            batches = jax.tree_util.tree_map(place, batches)
+            labels_stack = place(labels_stack)
+        return batches, labels_stack, labels_np, masks
+
     # ------------------------------------------------------------------ #
     def train(self, epoch: int):
         """One epoch: stage 1 (critics) x stage1_n, then stage 2 (main)
@@ -227,6 +268,9 @@ class Solver:
         mis_sum = np.zeros(8)
         predictions: List[np.ndarray] = []
         targets: List[np.ndarray] = []
+
+        if opt.epoch_scan and not opt.check_gradient:
+            return self._train_epoch_scan(epoch)
 
         # Stage 1 (skipped at epoch 0, ref: Solver.py:201-203)
         if epoch > 0 and self.have_bank:
@@ -314,6 +358,72 @@ class Solver:
         return (running_loss / n, running_loss_mi / n,
                 (mis_sum / n).tolist(), train_score)
 
+    def _train_epoch_scan(self, epoch: int):
+        """--epoch_scan: each stage is one dispatched XLA program."""
+        opt = self.opt
+        batches, labels_stack, labels_np, masks = self._stack_epoch(
+            self.train_loader)
+        t_stage1 = time.time()
+        running_loss_mi = 0.0
+        if epoch > 0 and self.have_bank:
+            (self.params_vmi, self.opt_vmi_state, loss_mi) = (
+                self.steps.critic_epoch(
+                    self.params_main, self.params_bert, self.params_vmi,
+                    self.opt_vmi_state, batches, labels_stack, self.bank,
+                    self._next_rng(), n_passes=opt.stage1_n))
+            running_loss_mi = float(loss_mi)
+        t_stage2 = time.time()
+        log_message(f"  stage1: {t_stage2 - t_stage1:.2f}s")
+
+        use_mi = self.have_bank
+        new_bank = FeatureBank.create(
+            self.n_bank, min(self.train_loader.num_samples, self.n_bank),
+            opt.d_common)
+        (self.params_main, self.params_bert, self.opt_main_state, losses,
+         mis, outs, new_bank) = self.steps.train_epoch(
+            self.params_main, self.params_bert, self.params_vmi,
+            self.opt_main_state, batches, labels_stack, self.bank, new_bank,
+            self._next_rng(), use_mi=use_mi)
+        self.bank = new_bank
+        self.have_bank = True
+
+        n = len(self.train_loader)
+        running_loss = float(jnp.sum(losses))
+        mis_sum = np.asarray(jnp.sum(mis, axis=0))
+        log_message(f"  stage2: {time.time() - t_stage2:.2f}s")
+        outs_np = np.asarray(outs)
+        predictions = np.concatenate(
+            [outs_np[i][m] for i, m in enumerate(masks)])
+        targets = np.concatenate(
+            [t[m] for t, m in zip(labels_np, masks)])
+        train_score = get_score_from_result(
+            predictions, targets, opt.dataset, opt.task, opt.num_class)
+        return (running_loss / n, running_loss_mi / n,
+                (mis_sum / n).tolist(), train_score)
+
+    def _evaluate_epoch_scan(self, loader):
+        opt = self.opt
+        use_mi = self.have_bank
+        batches, labels_stack, labels_np, masks = self._stack_epoch(loader)
+        losses, mis, outs, feats = self.steps.eval_epoch(
+            self.params_main, self.params_bert, self.params_vmi, batches,
+            labels_stack, self.bank, self._next_rng(), use_mi=use_mi)
+        n = len(loader)
+        outs_np = np.asarray(outs)
+        predictions = np.concatenate(
+            [outs_np[i][m] for i, m in enumerate(masks)])
+        targets = np.concatenate([t[m] for t, m in zip(labels_np, masks)])
+        score = get_score_from_result(predictions, targets, opt.dataset,
+                                      opt.task, opt.num_class)
+        features = None
+        if opt.save_best_features:
+            feats_np = [np.asarray(f) for f in feats]  # each [NB, bs, d]
+            features = [[f[i][m] for f in feats_np]
+                        for i, m in enumerate(masks)]
+        return (float(jnp.sum(losses)) / n,
+                (np.asarray(jnp.sum(mis, axis=0)) / n).tolist(), score,
+                predictions, targets, features)
+
     def _log_gradients(self, model_batch, labels_dev, stage: int):
         """--check_gradient: per-module |grad| sums
         (ref: Solver.py:215-216, Utils.py:11-19)."""
@@ -326,6 +436,8 @@ class Solver:
     def evaluate(self, loader):
         """No-grad eval pass (ref: Solver.py:250-270)."""
         opt = self.opt
+        if opt.epoch_scan:
+            return self._evaluate_epoch_scan(loader)
         use_mi = self.have_bank
         losses, mis_list = [], []
         predictions, targets, features = [], [], []

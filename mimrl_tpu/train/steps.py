@@ -221,6 +221,96 @@ class StepFactory:
                 mis = jnp.zeros((8,), jnp.float32)
             return loss, mis, out, (F_F, T_F, A_F, V_F)
 
+        # ---------------- epoch-level scans (--epoch_scan) ---------------- #
+        # The whole stage is ONE XLA program: the host stacks the epoch's
+        # batches ([NB, bs, ...]) and dispatches once; lax.scan carries
+        # params/optimizer state/bank across batches on-device. Removes
+        # per-batch dispatch + transfer latency entirely.
+
+        def critic_epoch(params_main, params_bert, params_vmi, opt_state,
+                         batches, labels_stack, bank, rng, n_passes: int):
+            """Stage 1 for the whole epoch: one forward per batch (scanned),
+            then n_passes scanned critic updates over the cached features."""
+            nb = labels_stack.shape[0]
+            k_feat, k_upd = jax.random.split(rng)
+            merged = merge_params(params_main, params_bert, params_vmi)
+
+            def feat_body(_, inp):
+                batch, k = inp
+                out, F_F, T_F, A_F, V_F = forward(merged, batch, k,
+                                                  deterministic=False)
+                return None, (F_F, T_F, A_F, V_F)
+
+            feat_keys = jax.random.split(k_feat, nb)
+            _, feats_stack = jax.lax.scan(feat_body, None, (batches, feat_keys))
+            feats_stack = jax.lax.stop_gradient(feats_stack)
+
+            def upd_body(carry, inp):
+                p_vmi, opt_state = carry
+                feats, labels, k = inp
+                knn = sample_all_knn(k, bank, cfg.batch_size, cfg.k_neighbor,
+                                     cfg.radius)
+
+                def loss_fn(p):
+                    merged_v = merge_params(params_main, params_bert, p)
+                    mis, losses = stage_loss(merged_v, labels, feats, knn, 1)
+                    return sum(l * c for l, c in zip(losses, c1))
+
+                loss, grads = jax.value_and_grad(loss_fn)(p_vmi)
+                updates, opt_state = opt_vmi.update(grads, opt_state, p_vmi)
+                p_vmi = optax.apply_updates(p_vmi, updates)
+                return (p_vmi, opt_state), loss
+
+            # n_passes sweeps over the cached features (--fast_stage1
+            # semantics: features fixed within the stage)
+            tiled_feats = jax.tree_util.tree_map(
+                lambda x: jnp.concatenate([x] * n_passes, axis=0), feats_stack)
+            tiled_labels = jnp.concatenate([labels_stack] * n_passes, axis=0)
+            upd_keys = jax.random.split(k_upd, nb * n_passes)
+            (params_vmi, opt_state), losses = jax.lax.scan(
+                upd_body, (params_vmi, opt_state),
+                (tiled_feats, tiled_labels, upd_keys))
+            return params_vmi, opt_state, jnp.sum(losses)
+
+        def train_epoch(params_main, params_bert, params_vmi, opt_state,
+                        batches, labels_stack, bank, new_bank, rng,
+                        use_mi: bool):
+            """Stage 2 for the whole epoch as one scanned program."""
+            nb = labels_stack.shape[0]
+            keys = jax.random.split(rng, nb)
+            offsets = jnp.arange(nb) * cfg.batch_size
+
+            def body(carry, inp):
+                p_main, p_bert, opt_state, new_bank = carry
+                batch, labels, offset, k = inp
+                (p_main, p_bert, opt_state, loss, mis, out, new_bank) = (
+                    train_step(p_main, p_bert, params_vmi, opt_state,
+                               batch, labels, bank, new_bank, offset, k,
+                               use_mi))
+                return (p_main, p_bert, opt_state, new_bank), (loss, mis, out)
+
+            (params_main, params_bert, opt_state, new_bank), ys = jax.lax.scan(
+                body, (params_main, params_bert, opt_state, new_bank),
+                (batches, labels_stack, offsets, keys))
+            losses, mis, outs = ys
+            return (params_main, params_bert, opt_state, losses, mis, outs,
+                    new_bank)
+
+        def eval_epoch(params_main, params_bert, params_vmi, batches,
+                       labels_stack, bank, rng, use_mi: bool):
+            nb = labels_stack.shape[0]
+            keys = jax.random.split(rng, nb)
+
+            def body(_, inp):
+                batch, labels, k = inp
+                loss, mis, out, feats = eval_step(
+                    params_main, params_bert, params_vmi, batch, labels,
+                    bank, k, use_mi)
+                return None, (loss, mis, out, feats)
+
+            _, ys = jax.lax.scan(body, None, (batches, labels_stack, keys))
+            return ys  # (losses [NB], mis [NB,8], outs [NB,bs,C], feats)
+
         # ------- fast stage 1: forward once, update critics many times ------- #
         def features_step(params_main, params_bert, params_vmi, batch, rng):
             merged = merge_params(params_main, params_bert, params_vmi)
@@ -280,6 +370,13 @@ class StepFactory:
         self.critic_step = jax.jit(critic_step, donate_argnums=(2, 3))
         self.features_step = jax.jit(features_step)
         self.critic_update = jax.jit(critic_update, donate_argnums=(2, 3))
+        self.critic_epoch = jax.jit(critic_epoch,
+                                    static_argnames=("n_passes",),
+                                    donate_argnums=(2, 3))
+        self.train_epoch = jax.jit(train_epoch,
+                                   static_argnames=("use_mi",),
+                                   donate_argnums=(0, 1, 3, 7))
+        self.eval_epoch = jax.jit(eval_epoch, static_argnames=("use_mi",))
         self.grad_debug_step = jax.jit(grad_debug_step,
                                        static_argnames=("stage",))
         self.train_step = jax.jit(train_step, static_argnames=("use_mi",),

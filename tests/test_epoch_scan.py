@@ -1,0 +1,66 @@
+"""--epoch_scan: whole-epoch scanned programs must train end-to-end and
+produce equivalent artifacts to the per-batch path."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from mimrl_tpu.core.config import MimrlConfig
+from mimrl_tpu.data.synthetic import make_dec_fixture
+from mimrl_tpu.train.solver import Solver
+
+
+@pytest.fixture(scope="module")
+def dec_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("dec_scan")
+    make_dec_fixture(str(root), "mosi", n_per_split=(32, 8, 8), d_audio=5,
+                     d_video=20, seed=7)
+    return str(root)
+
+
+def cfg_for(root, task_dir, **kw):
+    base = dict(
+        task_name="s", task_dir=task_dir, dataset="mosi_Dec", data_dir=root,
+        batch_size=8, time_len=12, d_common=16, encoders="gru",
+        d_hiddens=[[12, 2, 16], [4, 2, 16]], d_outs=[[12, 2, 16], [4, 2, 16]],
+        dropout_mlp=[0.0, 0.0, 0.0], dropout=[0.0, 0.0, 0.0, 0.0],
+        bias=True, res_project=[True, True], loss="MAE", epochs_num=2,
+        learning_rate=2e-3, stage1_n=2, k_neighbor=2,
+        loss_mi_coefficient1=[1.0] * 11, loss_mi_coefficient2=[0.01] * 8,
+        bert_layers=2, bert_heads=2, bert_hidden=32, num_workers=0, seed=0,
+        epoch_scan=True,
+    )
+    base.update(kw)
+    return MimrlConfig(**base)
+
+
+def test_epoch_scan_trains(dec_root, tmp_path_factory):
+    task_dir = str(tmp_path_factory.mktemp("runs"))
+    solver = Solver(cfg_for(dec_root, task_dir))
+    best = solver.solve()
+    assert best[0] is not None and np.isfinite(best[0]["mae"])
+    # banks filled by the scanned stage 2
+    n_valid = int(np.sum(np.asarray(solver.bank.valid)))
+    assert n_valid == 32
+    assert float(np.abs(np.asarray(solver.bank.T)[:n_valid]).sum()) > 0
+    # MI telemetry: zero at epoch 0, active after
+    scalars = [json.loads(l) for l in
+               open(os.path.join(task_dir, "s", "scalars.jsonl"))]
+    mi_ft = [x for x in scalars if x["tag"] == "Train/MI_ft"]
+    assert mi_ft[0]["value"] == 0.0
+    assert mi_ft[1]["value"] != 0.0
+
+
+def test_epoch_scan_with_features(dec_root, tmp_path_factory):
+    task_dir = str(tmp_path_factory.mktemp("runs2"))
+    solver = Solver(cfg_for(dec_root, task_dir, save_best_features=True,
+                            epochs_num=1, task_name="f"))
+    solver.solve()
+    import pickle
+
+    with open(os.path.join(task_dir, "f", "features_val.pkl"), "rb") as f:
+        feats = pickle.load(f)
+    assert len(feats) == 1  # one eval batch of 8
+    assert feats[0][0].shape == (8, 16)  # F_F mask-filtered
