@@ -78,6 +78,13 @@ def bert_freeze_mask(bert_params: Dict, bert_freeze: str) -> Dict:
     return mask
 
 
+def lock_all_params(params):
+    """Zero-update scale tree for every leaf — the optimizer-mask
+    equivalent of the reference's requires_grad=False sweep
+    (ref: Utils.py:301-304)."""
+    return jax.tree_util.tree_map(lambda _: 0.0, params)
+
+
 def _scale_by_tree(scale_tree):
     """Elementwise multiply updates by a (broadcast) pytree of scalars."""
 

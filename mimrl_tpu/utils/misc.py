@@ -28,3 +28,8 @@ def topk_np(matrix: np.ndarray, k: int, axis: int = 1):
 def whether_type_str(data) -> bool:
     """True when `data` is a (numpy or python) string (ref: Utils.py:251-252)."""
     return "str" in str(type(data))
+
+
+def get_predictions_tensor(predictions):
+    """Argmax class indices from logits (ref: Utils.py:255-257)."""
+    return np.argmax(np.asarray(predictions), axis=-1)
