@@ -121,6 +121,11 @@ class MimrlConfig:
     # (host stacks the epoch's batches and dispatches once); implies the
     # fast_stage1 feature-reuse semantics for stage 1
     epoch_scan: bool = False
+    # fusion encoder family (README.md:13: the fusion encoder is
+    # replaceable): cubemlp (reference) | transformer | tfn
+    fusion: str = "cubemlp"
+    fusion_layers: int = 2
+    fusion_heads: int = 4
 
     # Derived/validation -----------------------------------------------------
     def __post_init__(self):
@@ -132,9 +137,10 @@ class MimrlConfig:
         assert self.baseline_type in ("constant", "unnormalized", "gaussain")
         assert self.bound_type in (
             "dv", "mine", "tuba", "nwj", "infonce", "js", "js_fgan", "smile",
-            "interpolate",
+            "interpolate", "club",
         )
         assert self.cmi_last_acticate in ("hardtanh", "sigmoid")
+        assert self.fusion in ("cubemlp", "transformer", "tfn")
         assert len(self.d_hiddens) == len(self.d_outs) == len(self.res_project), (
             "d_hiddens, d_outs and res_project must have the same depth"
         )
@@ -258,6 +264,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--save_latest_every", default=d.save_latest_every,
                    type=int)
     p.add_argument("--epoch_scan", action="store_true")
+    p.add_argument("--fusion", default=d.fusion, type=str,
+                   choices=["cubemlp", "transformer", "tfn"])
+    p.add_argument("--fusion_layers", default=d.fusion_layers, type=int)
+    p.add_argument("--fusion_heads", default=d.fusion_heads, type=int)
     return p
 
 

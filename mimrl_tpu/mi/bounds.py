@@ -158,8 +158,29 @@ def interp_lower_bound(scores: Array, baseline: Array, alpha_logit: float) -> Ar
 
 BOUND_NAMES = (
     "dv", "mine", "tuba", "nwj", "infonce", "js", "js_fgan", "smile",
-    "interpolate",
+    "interpolate", "club",
 )
+
+
+def club_bound_and_nll(mu: Array, logvar: Array, y: Array):
+    """CLUB (Contrastive Log-ratio Upper Bound, Cheng et al. 2020):
+    I(X;Y) <= E_joint[log q(y|x)] - E_prod[log q(y|x)] with a variational
+    conditional q. Returns (mi_upper_bound, nll) where nll is the
+    critic-training objective (negative conditional log-likelihood).
+
+    Extension beyond the reference's lower-bound zoo (VMI.py has no
+    upper bound); paired with ClubCritic in mimrl_tpu.mi.critics."""
+    inv_var = jnp.exp(-logvar)
+    # positive pairs: diagonal (x_i, y_i)
+    pos = -0.5 * jnp.sum(
+        jnp.square(y - mu) * inv_var + logvar, axis=-1)  # [bs]
+    # all-pairs negative: E_i E_j log q(y_j | x_i)
+    diff = y[None, :, :] - mu[:, None, :]  # [bs_x, bs_y, d]
+    neg_all = -0.5 * jnp.sum(
+        jnp.square(diff) * inv_var[:, None, :] + logvar[:, None, :], axis=-1)
+    mi = jnp.mean(pos) - jnp.mean(neg_all)
+    nll = -jnp.mean(pos)
+    return mi, nll
 
 
 def mi_and_loss(

@@ -76,6 +76,26 @@ class CriticModel(nn.Module):
         return scores
 
 
+class ClubCritic(nn.Module):
+    """Variational conditional net q(y|x) = N(mu(x), exp(logvar(x))) for
+    the CLUB upper bound (Cheng et al., ICML 2020). Not present in the
+    reference repo; part of this framework's extended bound zoo."""
+
+    y_dim: int
+    hidden_dim: int = 256
+    layers: int = 2
+    activation: str = "relu"
+
+    @nn.compact
+    def __call__(self, x):
+        mu = MLPStack(self.hidden_dim, self.y_dim, self.layers,
+                      self.activation, name="mu")(x)
+        logvar = jnp.tanh(
+            MLPStack(self.hidden_dim, self.y_dim, self.layers,
+                     self.activation, name="logvar")(x)) * 5.0
+        return mu, logvar
+
+
 class BaselineModel(nn.Module):
     """Log-baseline a(y) -> [bs, 1] (ref: VMI.py:72-110).
 

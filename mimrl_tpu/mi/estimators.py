@@ -13,7 +13,7 @@ import jax
 import jax.numpy as jnp
 
 from mimrl_tpu.mi import bounds
-from mimrl_tpu.mi.critics import BaselineModel, CriticModel
+from mimrl_tpu.mi.critics import BaselineModel, ClubCritic, CriticModel
 from mimrl_tpu.utils.activations import get_activation_fn
 
 Array = jax.Array
@@ -36,6 +36,18 @@ class VMIEstimator(nn.Module):
 
     @nn.compact
     def __call__(self, features_x: Array, features_y: Array):
+        if self.bound_type == "club":
+            # CLUB is an UPPER bound trained by conditional MLE: mi_loss
+            # is the critic's NLL (stage 1 trains q), and the mi value is
+            # the log-ratio estimate. With positive loss_mi_coefficient2
+            # stage 2 then maximizes likelihood of y given x; to use CLUB
+            # for MI *minimization* flip the coefficient sign.
+            mu, logvar = ClubCritic(
+                features_y.shape[-1], hidden_dim=self.hidden_dim,
+                layers=self.layers, activation=self.activation,
+                name="critic_model")(features_x)
+            mi, nll = bounds.club_bound_and_nll(mu, logvar, features_y)
+            return mi, nll
         scores = CriticModel(
             self.critic_type,
             hidden_dim=self.hidden_dim,

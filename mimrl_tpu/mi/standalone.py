@@ -46,6 +46,10 @@ def rho_to_mi(dim: int, rho: float) -> float:
 
 def _loss_fn(params, apply_critic, apply_baseline, bound_type, alpha_logit,
              ma_et, ma_rate, x, y):
+    if bound_type == "club":
+        mu, logvar = apply_critic(params["critic"], x, y)
+        mi, nll = bounds.club_bound_and_nll(mu, logvar, y)
+        return nll, (mi, ma_et)
     scores = apply_critic(params["critic"], x, y)
     log_baseline = None
     if apply_baseline is not None:
@@ -100,9 +104,6 @@ def train_mine(
     n_batches = max(n // batch_size, 1)
     n_used = n_batches * batch_size
 
-    critic = CriticModel(critic_type, hidden_dim=hidden_dim,
-                         embed_dim=embed_dim, layers=layers,
-                         activation=activation)
     use_baseline = bound_type in ("tuba", "interpolate")
     baseline = (
         BaselineModel(baseline_type, hidden_dim=hidden_dim, layers=layers,
@@ -111,12 +112,23 @@ def train_mine(
     )
 
     key, k_init_c, k_init_b = jax.random.split(key, 3)
-    params = {"critic": critic.init(k_init_c, x[:2], y[:2])}
+    if bound_type == "club":
+        from mimrl_tpu.mi.critics import ClubCritic
+
+        critic = ClubCritic(y_dim=int(y.shape[-1]), hidden_dim=hidden_dim,
+                            layers=layers, activation=activation)
+        params = {"critic": critic.init(k_init_c, x[:2])}
+        apply_critic = lambda p, xx, yy: critic.apply(p, xx)
+    else:
+        critic = CriticModel(critic_type, hidden_dim=hidden_dim,
+                             embed_dim=embed_dim, layers=layers,
+                             activation=activation)
+        params = {"critic": critic.init(k_init_c, x[:2], y[:2])}
+        apply_critic = lambda p, xx, yy: critic.apply(p, xx, yy)
     apply_baseline = None
     if baseline is not None:
         params["baseline"] = baseline.init(k_init_b, y[:2])
         apply_baseline = lambda p, yy: baseline.apply(p, yy)
-    apply_critic = lambda p, xx, yy: critic.apply(p, xx, yy)
 
     tx = optax.adamax(lr)
     opt_state = tx.init(params)

@@ -35,6 +35,7 @@ import jax.numpy as jnp
 from mimrl_tpu.mi.estimators import VCMIEstimator, VMIEstimator
 from mimrl_tpu.models.bert import BertConfig, BertModel
 from mimrl_tpu.models.cubemlp import MLPEncoder
+from mimrl_tpu.models.fusion import TFNFusion, TransformerFusion
 from mimrl_tpu.models.encoders import (
     BiRnnEncoder,
     ConvEncoder,
@@ -97,6 +98,11 @@ class MimrlModel(nn.Module):
     radius: float = 1.0
     cmi_last_acticate: str = "sigmoid"
     use_pallas: bool = False
+    # fusion encoder family: 'cubemlp' (reference parity) |
+    # 'transformer' | 'tfn' (README.md:13 calls the fusion replaceable)
+    fusion: str = "cubemlp"
+    fusion_layers: int = 2
+    fusion_heads: int = 4
     # BERT
     bert_config: BertConfig = BertConfig()
 
@@ -126,22 +132,37 @@ class MimrlModel(nn.Module):
         self.dropout_a = nn.Dropout(self.dropout[1])
         self.dropout_v = nn.Dropout(self.dropout[2])
 
-        self.mlp_encoder = MLPEncoder(
-            activate=self.activate,
-            d_in=(self.time_len, 3, self.d_common),
-            d_hiddens=self.d_hiddens,
-            d_outs=self.d_outs,
-            dropouts=self.dropout_mlp,
-            use_bias=self.bias,
-            ln_first=self.ln_first,
-            res_project=self.res_project,
-            use_pallas=self.use_pallas,
-            name="mlp_encoder",
-        )
+        assert self.fusion in ("cubemlp", "transformer", "tfn")
+        if self.fusion == "cubemlp":
+            self.mlp_encoder = MLPEncoder(
+                activate=self.activate,
+                d_in=(self.time_len, 3, self.d_common),
+                d_hiddens=self.d_hiddens,
+                d_outs=self.d_outs,
+                dropouts=self.dropout_mlp,
+                use_bias=self.bias,
+                ln_first=self.ln_first,
+                res_project=self.res_project,
+                use_pallas=self.use_pallas,
+                name="mlp_encoder",
+            )
+            t_out, k_out, d_out = (self.d_outs[-1][0], self.d_outs[-1][1],
+                                   self.d_outs[-1][2])
+        elif self.fusion == "transformer":
+            self.mlp_encoder = TransformerFusion(
+                d_model=self.d_common, time_len=self.time_len,
+                num_layers=self.fusion_layers, num_heads=self.fusion_heads,
+                dropout=self.dropout_mlp[0], name="mlp_encoder")
+            t_out, k_out, d_out = self.time_len, 3, self.d_common
+        else:  # tfn
+            self.mlp_encoder = TFNFusion(
+                d_model=self.d_common, dropout=self.dropout_mlp[0],
+                name="mlp_encoder")
+            t_out, k_out, d_out = self.time_len, 3, self.d_common
 
         classify_dim = get_output_dim(
             self.features_compose_t, self.features_compose_k,
-            self.d_outs[-1][2], self.d_outs[-1][0], self.d_outs[-1][1],
+            d_out, t_out, k_out,
         )
         self._classify_dim = classify_dim
         if classify_dim <= 128:

@@ -86,6 +86,8 @@ class Solver:
             bound_type=opt.bound_type, k_neighbor=opt.k_neighbor,
             radius=opt.radius, cmi_last_acticate=opt.cmi_last_acticate,
             use_pallas=opt.use_pallas,
+            fusion=opt.fusion, fusion_layers=opt.fusion_layers,
+            fusion_heads=opt.fusion_heads,
             bert_config=bert_cfg,
         )
 
