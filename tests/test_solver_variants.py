@@ -98,3 +98,46 @@ def test_mesh_sharded_training_loop(roots, tmp_path_factory):
     assert solver.mesh is not None
     best = solver.solve()
     assert best[0] is not None and np.isfinite(best[0]["mae"])
+
+
+def test_sdk_text_mode_solver(tmp_path_factory):
+    """CMU-SDK raw-text path through the full loop: host tokenization of
+    word lists (ref: Customization.py:59-84) + SDK label routing
+    (ref: Solver.py:279-287)."""
+    from mimrl_tpu.data.synthetic import make_sdk_fixture
+
+    root = str(tmp_path_factory.mktemp("sdk_e2e"))
+    make_sdk_fixture(root, "mosi", n_per_split=(24, 8, 8), d_text=16,
+                     d_audio=74, d_video=47, seed=9)
+    cfg = base_cfg(
+        task_name="sdk", task_dir=str(tmp_path_factory.mktemp("rsdk")),
+        dataset="mosi_SDK", data_dir=root, text="text", audio="covarep",
+        video="facet41", normalize=[False, True, True], loss="MAE",
+        epochs_num=2,
+    )
+    best = Solver(cfg).solve()
+    assert best[0] is not None
+    # full MOSI metric battery from the SDK route
+    assert "2(pos/neg)-class_f1" in best[0]
+    assert np.isfinite(best[0]["mae"])
+
+
+def test_pom_sdk_label_routing(tmp_path_factory):
+    """POM: 18-column label matrix, regression takes column 0
+    (ref: Solver.py:288-294), POM metric battery."""
+    from mimrl_tpu.data.synthetic import make_sdk_fixture
+
+    root = str(tmp_path_factory.mktemp("pom_e2e"))
+    # registry dims for pom: covarep=43, facet42=35 (ref: Config.py:66-69)
+    make_sdk_fixture(root, "pom", n_per_split=(24, 8, 8), d_text=16,
+                     d_audio=43, d_video=35, seed=11)
+    cfg = base_cfg(
+        task_name="pom", task_dir=str(tmp_path_factory.mktemp("rpom")),
+        dataset="pom_SDK", data_dir=root, text="text", audio="covarep",
+        video="facet42", loss="MAE", epochs_num=1,
+    )
+    best = Solver(cfg).solve()
+    assert best[0] is not None
+    assert set(best[0]) == {"mae", "corr", "2(pos/neg)-class_acc",
+                            "2(nneg/neg)-class_acc", "2(pos/neg)-class_f1",
+                            "2(nneg/neg)-class_f1"}
