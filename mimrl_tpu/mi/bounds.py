@@ -156,10 +156,13 @@ def interp_lower_bound(scores: Array, baseline: Array, alpha_logit: float) -> Ar
 # Dispatch table + the in-model (mi, mi_loss) semantics
 # ---------------------------------------------------------------------------
 
-BOUND_NAMES = (
+# score-matrix bounds (critic -> [bs, bs] scores); CLUB is separate
+# (variational conditional critic, see club_bound_and_nll)
+SCORE_BOUND_NAMES = (
     "dv", "mine", "tuba", "nwj", "infonce", "js", "js_fgan", "smile",
-    "interpolate", "club",
+    "interpolate",
 )
+BOUND_NAMES = SCORE_BOUND_NAMES + ("club",)
 
 
 def club_bound_and_nll(mu: Array, logvar: Array, y: Array):

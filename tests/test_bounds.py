@@ -15,7 +15,7 @@ from mimrl_tpu.mi.standalone import (
     sample_correlated_gaussian,
 )
 
-ALL_BOUNDS = list(bounds.BOUND_NAMES)
+ALL_BOUNDS = list(bounds.SCORE_BOUND_NAMES)  # club has no score matrix
 
 
 def _scores(n=32, seed=0):
