@@ -72,7 +72,7 @@ def test_invalid_values_rejected():
     with pytest.raises(AssertionError):
         MimrlConfig(encoders="transformer")
     with pytest.raises(AssertionError):
-        MimrlConfig(bound_type="club")
+        MimrlConfig(bound_type="kl_divergence")
     with pytest.raises(AssertionError):
         MimrlConfig(loss_mi_coefficient1=[0.1] * 10)
 
