@@ -96,10 +96,11 @@ def get_dataset_scales(datasets=None, **cfg_overrides):
     datasets = datasets or registry.ALL_DATASETS
     results = {}
     for name in datasets:
-        opt = MimrlConfig(
-            dataset=name, text="glove", audio="covarep", video="facet42",
-            time_len=200, normalize=[False] * 3, log_scale=[False] * 3,
-            batch_size=1024, num_workers=0, **cfg_overrides)
+        kw = dict(dataset=name, text="glove", audio="covarep",
+                  video="facet42", time_len=200, normalize=[False] * 3,
+                  log_scale=[False] * 3, batch_size=1024, num_workers=0)
+        kw.update(cfg_overrides)
+        opt = MimrlConfig(**kw)
         mins = [np.inf] * 3
         maxs = [-np.inf] * 3
         loaders = get_data_loader(opt)[:3]
@@ -121,12 +122,14 @@ def test_all_dataset(datasets=None, **cfg_overrides):
     datasets = datasets or registry.ALL_DATASETS
     for name in datasets:
         is_avec = name == "avec2019"
-        opt = MimrlConfig(
+        kw = dict(
             dataset=name, text="glove",
             audio="covarep" if not is_avec else "ds",
             video="facet42" if not is_avec else "resnet",
             normalize=[False, True, True], log_scale=[False, True, True],
-            time_len=100, batch_size=1024, num_workers=0, **cfg_overrides)
+            time_len=100, batch_size=1024, num_workers=0)
+        kw.update(cfg_overrides)
+        opt = MimrlConfig(**kw)
         train, _, _, d_t, d_a, d_v = get_data_loader(opt)
         for batch in train:
             assert batch["audio"].shape[-1] == d_a, (name, d_a)

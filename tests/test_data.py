@@ -188,3 +188,23 @@ def test_tokenizer_vocab_file(tmp_path):
     tok = build_tokenizer(str(p))
     ids, _, _ = tok.encode("hello quickly", 8)
     assert ids[:5] == [2, 5, 8, 7, 3]  # [CLS] hello quick ##ly [SEP]
+
+
+def test_get_dataset_scales_and_smoke(fixture_root, tmp_path):
+    """Maintenance utilities (ref: DataLoaderUniversal.py:98-152)."""
+    from mimrl_tpu.data.universal import get_dataset_scales, test_all_dataset
+
+    sdk = _family_dir(fixture_root, "mosi_SDK")
+    scales = get_dataset_scales(datasets=["mosi_SDK"], data_dir=sdk,
+                                time_len=16, batch_size=8)
+    mins, maxs = scales["mosi_SDK"]
+    assert len(mins) == len(maxs) == 3
+    assert all(np.isfinite(m) for m in mins[1:])  # audio/video scanned
+    assert maxs[1] > mins[1]
+
+    # the smoke checker asserts against registry dims -> needs a
+    # registry-dim-matched fixture (covarep=74, facet42=35)
+    make_sdk_fixture(str(tmp_path), "mosi", n_per_split=(6, 2, 2),
+                     d_text=16, d_audio=74, d_video=35, seed=3)
+    test_all_dataset(datasets=["mosi_SDK"], data_dir=str(tmp_path),
+                     batch_size=4)
