@@ -129,23 +129,34 @@ class MimrlConfig:
 
     # Derived/validation -----------------------------------------------------
     def __post_init__(self):
-        assert self.encoders in ("lstm", "gru", "conv")
-        assert self.features_compose_t in ("mean", "cat", "sum")
-        assert self.features_compose_k in ("mean", "cat", "sum")
-        assert self.task in ("classification", "regression")
-        assert self.critic_type in ("separate", "concat")
-        assert self.baseline_type in ("constant", "unnormalized", "gaussain")
-        assert self.bound_type in (
-            "dv", "mine", "tuba", "nwj", "infonce", "js", "js_fgan", "smile",
-            "interpolate", "club",
-        )
-        assert self.cmi_last_acticate in ("hardtanh", "sigmoid")
-        assert self.fusion in ("cubemlp", "transformer", "tfn")
+        def check(value, name, allowed):
+            assert value in allowed, (
+                f"invalid --{name} {value!r}; choose from {allowed}")
+
+        check(self.encoders, "encoders", ("lstm", "gru", "conv"))
+        check(self.features_compose_t, "features_compose_t",
+              ("mean", "cat", "sum"))
+        check(self.features_compose_k, "features_compose_k",
+              ("mean", "cat", "sum"))
+        check(self.task, "task", ("classification", "regression"))
+        check(self.critic_type, "critic_type", ("separate", "concat"))
+        check(self.baseline_type, "baseline_type",
+              ("constant", "unnormalized", "gaussain"))
+        check(self.bound_type, "bound_type",
+              ("dv", "mine", "tuba", "nwj", "infonce", "js", "js_fgan",
+               "smile", "interpolate", "club"))
+        check(self.cmi_last_acticate, "cmi_last_acticate",
+              ("hardtanh", "sigmoid"))
+        check(self.fusion, "fusion", ("cubemlp", "transformer", "tfn"))
         assert len(self.d_hiddens) == len(self.d_outs) == len(self.res_project), (
             "d_hiddens, d_outs and res_project must have the same depth"
         )
-        assert len(self.loss_mi_coefficient1) == 11
-        assert len(self.loss_mi_coefficient2) == 8
+        assert len(self.loss_mi_coefficient1) == 11, (
+            "--loss_mi_coefficient1 needs exactly 11 values "
+            f"(got {len(self.loss_mi_coefficient1)})")
+        assert len(self.loss_mi_coefficient2) == 8, (
+            "--loss_mi_coefficient2 needs exactly 8 values "
+            f"(got {len(self.loss_mi_coefficient2)})")
 
     # IO ---------------------------------------------------------------------
     def to_json(self) -> str:
