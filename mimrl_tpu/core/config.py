@@ -92,6 +92,15 @@ class MimrlConfig:
     # --- TPU-native extensions (new in mimrl_tpu) ---
     mesh_data: int = -1  # -1 = all visible devices on the data axis
     mesh_model: int = 1  # tensor-parallel axis size
+    # pipeline parallelism: split the BERT stack into this many stages on
+    # a dedicated mesh axis (parallel/pipeline.py); 1 = off
+    mesh_pipe: int = 1
+    pipe_microbatches: int = 4
+    # Megatron-style sequence parallelism: shard the [bs, T, H] BERT
+    # activations' time axis over the `model` axis between layers (GSPMD
+    # inserts the gather/scatter collectives); only meaningful with
+    # mesh_model > 1, and mutually exclusive with mesh_pipe > 1
+    seq_shard: bool = False
     compute_dtype: str = "float32"  # float32 | bfloat16 (matmul inputs)
     use_pallas: bool = False  # fused Pallas CubeMLP kernel
     data_dir: Optional[str] = None  # overrides dataset root paths
@@ -126,6 +135,10 @@ class MimrlConfig:
     fusion: str = "cubemlp"
     fusion_layers: int = 2
     fusion_heads: int = 4
+    # 'moe' fusion: expert count and router top-k (experts shard over the
+    # `model` mesh axis = expert parallelism)
+    moe_experts: int = 4
+    moe_topk: int = 2
 
     # Derived/validation -----------------------------------------------------
     def __post_init__(self):
@@ -147,7 +160,7 @@ class MimrlConfig:
                "smile", "interpolate", "club"))
         check(self.cmi_last_acticate, "cmi_last_acticate",
               ("hardtanh", "sigmoid"))
-        check(self.fusion, "fusion", ("cubemlp", "transformer", "tfn"))
+        check(self.fusion, "fusion", ("cubemlp", "transformer", "tfn", "moe"))
         assert len(self.d_hiddens) == len(self.d_outs) == len(self.res_project), (
             "d_hiddens, d_outs and res_project must have the same depth"
         )
@@ -257,6 +270,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
     # TPU-native extensions
     p.add_argument("--mesh_data", default=d.mesh_data, type=int)
     p.add_argument("--mesh_model", default=d.mesh_model, type=int)
+    p.add_argument("--mesh_pipe", default=d.mesh_pipe, type=int)
+    p.add_argument("--pipe_microbatches", default=d.pipe_microbatches,
+                   type=int)
+    p.add_argument("--seq_shard", action="store_true")
     p.add_argument("--compute_dtype", default=d.compute_dtype, type=str)
     p.add_argument("--use_pallas", action="store_true")
     p.add_argument("--data_dir", default=None, type=str)
@@ -276,9 +293,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    type=int)
     p.add_argument("--epoch_scan", action="store_true")
     p.add_argument("--fusion", default=d.fusion, type=str,
-                   choices=["cubemlp", "transformer", "tfn"])
+                   choices=["cubemlp", "transformer", "tfn", "moe"])
     p.add_argument("--fusion_layers", default=d.fusion_layers, type=int)
     p.add_argument("--fusion_heads", default=d.fusion_heads, type=int)
+    p.add_argument("--moe_experts", default=d.moe_experts, type=int)
+    p.add_argument("--moe_topk", default=d.moe_topk, type=int)
     return p
 
 

@@ -46,6 +46,13 @@ class BertConfig:
     # matmul compute dtype; params stay float32, LayerNorm/softmax run in
     # float32 (the standard TPU mixed-precision recipe)
     dtype: Any = jnp.float32
+    # Megatron-style sequence parallelism: a NamedSharding for the
+    # [bs, T, H] inter-layer activations (time axis sharded over the
+    # tensor-parallel mesh axis, e.g. P('data', 'model', None)). GSPMD
+    # re-gathers the time axis for attention and scatters it back for the
+    # per-token LayerNorm/dropout/FFN region, so those run on 1/TP of the
+    # sequence per device. None = no constraint (single-axis layouts).
+    seq_sharding: Any = None
 
     @classmethod
     def tiny(cls) -> "BertConfig":
@@ -139,6 +146,8 @@ class BertModel(nn.Module):
         attn_bias = (1.0 - attention_mask[:, None, None, :].astype(jnp.float32))
         attn_bias = attn_bias * jnp.float32(-1e9)
         for i in range(c.num_hidden_layers):
+            if c.seq_sharding is not None:
+                x = jax.lax.with_sharding_constraint(x, c.seq_sharding)
             x = BertLayer(c, name=f"layer_{i}")(x, attn_bias, deterministic)
         # downstream projection/W_t and summary means run in float32
         return x.astype(jnp.float32)

@@ -26,7 +26,7 @@ documented):
 
 from __future__ import annotations
 
-from typing import Dict, Sequence
+from typing import Dict, Optional, Sequence
 
 import flax.linen as nn
 import jax
@@ -35,7 +35,7 @@ import jax.numpy as jnp
 from mimrl_tpu.mi.estimators import VCMIEstimator, VMIEstimator
 from mimrl_tpu.models.bert import BertConfig, BertModel
 from mimrl_tpu.models.cubemlp import MLPEncoder
-from mimrl_tpu.models.fusion import TFNFusion, TransformerFusion
+from mimrl_tpu.models.fusion import MoEFusion, TFNFusion, TransformerFusion
 from mimrl_tpu.models.encoders import (
     BiRnnEncoder,
     ConvEncoder,
@@ -103,6 +103,11 @@ class MimrlModel(nn.Module):
     fusion: str = "cubemlp"
     fusion_layers: int = 2
     fusion_heads: int = 4
+    # 'moe' fusion: expert count / router top-k / optional NamedSharding
+    # for the expert activations (expert parallelism over the mesh)
+    moe_experts: int = 4
+    moe_topk: int = 2
+    moe_ep_sharding: Optional[object] = None
     # BERT
     bert_config: BertConfig = BertConfig()
 
@@ -132,7 +137,7 @@ class MimrlModel(nn.Module):
         self.dropout_a = nn.Dropout(self.dropout[1])
         self.dropout_v = nn.Dropout(self.dropout[2])
 
-        assert self.fusion in ("cubemlp", "transformer", "tfn")
+        assert self.fusion in ("cubemlp", "transformer", "tfn", "moe")
         if self.fusion == "cubemlp":
             self.mlp_encoder = MLPEncoder(
                 activate=self.activate,
@@ -153,6 +158,14 @@ class MimrlModel(nn.Module):
                 d_model=self.d_common, time_len=self.time_len,
                 num_layers=self.fusion_layers, num_heads=self.fusion_heads,
                 dropout=self.dropout_mlp[0], name="mlp_encoder")
+            t_out, k_out, d_out = self.time_len, 3, self.d_common
+        elif self.fusion == "moe":
+            self.mlp_encoder = MoEFusion(
+                d_model=self.d_common, time_len=self.time_len,
+                num_layers=self.fusion_layers, num_heads=self.fusion_heads,
+                num_experts=self.moe_experts, top_k=self.moe_topk,
+                dropout=self.dropout_mlp[0],
+                ep_sharding=self.moe_ep_sharding, name="mlp_encoder")
             t_out, k_out, d_out = self.time_len, 3, self.d_common
         else:  # tfn
             self.mlp_encoder = TFNFusion(
@@ -208,11 +221,19 @@ class MimrlModel(nn.Module):
         v: Array,                    # [bs, T, d_v]
         deterministic: bool = True,
         return_features: bool = True,
+        text_hidden: Optional[Array] = None,
     ):
         T = self.time_len
-        # BERT last_hidden_state -> common projection
-        t = self.bertmodel(bert_sentences, bert_sentence_types,
-                           bert_sentence_att_mask, deterministic=deterministic)
+        # BERT last_hidden_state -> common projection. `text_hidden`
+        # bypasses the in-module BERT with an externally computed
+        # [bs, T, d_t] (the pipeline-parallel path runs the layer stack
+        # under shard_map, parallel/pipeline.py).
+        if text_hidden is None:
+            t = self.bertmodel(bert_sentences, bert_sentence_types,
+                               bert_sentence_att_mask,
+                               deterministic=deterministic)
+        else:
+            t = text_hidden
         t = self.W_t(t)
 
         # lengths from non-zero rows, clamped to >=1 (ref: Model.py:425-432)

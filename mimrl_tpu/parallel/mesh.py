@@ -22,22 +22,32 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
+PIPE_AXIS = "pipe"
 MODEL_AXIS = "model"
 
 
-def make_mesh(data: int = -1, model: int = 1, devices=None) -> Mesh:
-    """Build a (data, model) mesh. ``data=-1`` uses all remaining devices."""
+def make_mesh(data: int = -1, model: int = 1, pipe: int = 1,
+              devices=None) -> Mesh:
+    """Build a (data, pipe, model) mesh. ``data=-1`` uses all remaining
+    devices. `pipe` is the pipeline-stage axis (parallel/pipeline.py);
+    with the default ``pipe=1`` the mesh degenerates to (data, model).
+    Axis order puts `model` innermost so tensor-parallel collectives ride
+    the fastest ICI links."""
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     if model <= 0:
         model = 1
+    if pipe <= 0:
+        pipe = 1
     if data <= 0:
-        data = n // model
-    assert data * model <= n, (
-        f"mesh {data}x{model} needs {data * model} devices, have {n}"
+        data = n // (model * pipe)
+    assert data * model * pipe <= n, (
+        f"mesh {data}x{pipe}x{model} needs {data * model * pipe} devices, "
+        f"have {n}"
     )
-    dev_array = np.asarray(devices[: data * model]).reshape(data, model)
-    return Mesh(dev_array, (DATA_AXIS, MODEL_AXIS))
+    dev_array = np.asarray(devices[: data * model * pipe]).reshape(
+        data, pipe, model)
+    return Mesh(dev_array, (DATA_AXIS, PIPE_AXIS, MODEL_AXIS))
 
 
 def data_sharding(mesh: Mesh) -> NamedSharding:
@@ -65,23 +75,29 @@ def shard_batch(mesh: Mesh, batch):
 
 
 def param_sharding_rule(mesh: Mesh, min_size: int = 2048):
-    """Return a function pytree-mapping params -> NamedSharding.
+    """Return a function mapping (path, leaf) -> NamedSharding.
 
-    Large 2-D kernels get their output axis sharded over `model`
-    (tensor parallelism for BERT FFN / critic MLPs); everything else is
-    replicated. With ``model=1`` this degenerates to full replication.
+    - Large 2-D kernels get their output axis sharded over `model`
+      (tensor parallelism for BERT FFN / critic MLPs).
+    - MoE expert weights (leaves under a `moe_*` module with a leading
+      expert axis divisible by the `model` size) shard expert-wise over
+      `model` (expert parallelism).
+    - Everything else is replicated. With ``model=1`` this degenerates
+      to full replication.
     """
     n_model = mesh.shape[MODEL_AXIS]
 
-    def rule(x):
-        if (
-            n_model > 1
-            and hasattr(x, "ndim")
-            and x.ndim == 2
-            and x.shape[1] % n_model == 0
-            and x.size >= min_size
-        ):
-            return NamedSharding(mesh, P(None, MODEL_AXIS))
+    def rule(path, x):
+        if n_model > 1 and hasattr(x, "ndim"):
+            path_str = "/".join(
+                str(getattr(k, "key", k)) for k in path)
+            if ("moe_" in path_str and "router" not in path_str
+                    and x.ndim >= 2 and x.shape[0] % n_model == 0):
+                return NamedSharding(
+                    mesh, P(MODEL_AXIS, *([None] * (x.ndim - 1))))
+            if (x.ndim == 2 and x.shape[1] % n_model == 0
+                    and x.size >= min_size):
+                return NamedSharding(mesh, P(None, MODEL_AXIS))
         return NamedSharding(mesh, P())
 
     return rule
@@ -89,4 +105,5 @@ def param_sharding_rule(mesh: Mesh, min_size: int = 2048):
 
 def shard_params(mesh: Mesh, params):
     rule = param_sharding_rule(mesh)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, rule(x)), params)
+    return jax.tree_util.tree_map_with_path(
+        lambda path, x: jax.device_put(x, rule(path, x)), params)

@@ -16,6 +16,7 @@ TPU-native additions over the reference:
 
 from __future__ import annotations
 
+import dataclasses
 import os
 import pickle
 import time
@@ -88,6 +89,7 @@ class Solver:
             use_pallas=opt.use_pallas,
             fusion=opt.fusion, fusion_layers=opt.fusion_layers,
             fusion_heads=opt.fusion_heads,
+            moe_experts=opt.moe_experts, moe_topk=opt.moe_topk,
             bert_config=bert_cfg,
         )
 
@@ -127,14 +129,30 @@ class Solver:
         # mesh / sharding ("--parallel" is implicit: shard when >1 device)
         n_dev = len(jax.devices())
         if opt.mesh_data != 1 and n_dev > 1:
-            self.mesh = make_mesh(opt.mesh_data, opt.mesh_model)
+            self.mesh = make_mesh(opt.mesh_data, opt.mesh_model,
+                                  opt.mesh_pipe)
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            from mimrl_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+            if opt.seq_shard and opt.mesh_model > 1:
+                bert_cfg = dataclasses.replace(
+                    bert_cfg, seq_sharding=NamedSharding(
+                        self.mesh, P(DATA_AXIS, MODEL_AXIS, None)))
+                self.model = self.model.clone(bert_config=bert_cfg)
+            if opt.fusion == "moe" and opt.mesh_model > 1:
+                # expert parallelism: [E, bs, S, h] expert activations
+                # sharded expert-axis over `model`, batch over `data`
+                self.model = self.model.clone(
+                    moe_ep_sharding=NamedSharding(
+                        self.mesh, P(MODEL_AXIS, DATA_AXIS, None, None)))
             self.params_main = shard_params(self.mesh, self.params_main)
             self.params_bert = shard_params(self.mesh, self.params_bert)
             self.params_vmi = shard_params(self.mesh, self.params_vmi)
         else:
             self.mesh = None
 
-        self.steps = StepFactory(self.model, opt, self.opt_main, self.opt_vmi)
+        self.steps = StepFactory(self.model, opt, self.opt_main, self.opt_vmi,
+                                 mesh=self.mesh)
 
         # feature banks: capacity = one row per train-step sample
         self.n_bank = len(self.train_loader) * opt.batch_size

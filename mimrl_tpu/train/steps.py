@@ -110,7 +110,7 @@ class StepFactory:
     """Builds the three jitted step functions for a model + config."""
 
     def __init__(self, model: MimrlModel, cfg: MimrlConfig, opt_main,
-                 opt_vmi):
+                 opt_vmi, mesh=None):
         self.model = model
         self.cfg = cfg
         self.opt_main = opt_main
@@ -119,12 +119,28 @@ class StepFactory:
         c2 = jnp.asarray(cfg.loss_mi_coefficient2, jnp.float32)
 
         model_apply = model.apply
+        # pipeline parallelism: run the BERT layer stack as a shard_map
+        # microbatch pipeline over the mesh's `pipe` axis and feed the
+        # result through the model's text_hidden bypass
+        pipe_on = cfg.mesh_pipe > 1 and mesh is not None
 
         def forward(params, batch, rng, deterministic):
+            kwargs = {}
+            if pipe_on:
+                from mimrl_tpu.parallel.pipeline import bert_forward_pipelined
+
+                kwargs["text_hidden"] = bert_forward_pipelined(
+                    params["bertmodel"], model.bert_config, mesh,
+                    batch["bert_sentences"], batch["bert_sentence_types"],
+                    batch["bert_sentence_att_mask"],
+                    n_microbatches=cfg.pipe_microbatches,
+                    deterministic=deterministic,
+                    rng=None if deterministic else jax.random.fold_in(rng, 7))
             return model_apply(
                 {"params": params}, *_model_inputs(batch),
                 deterministic=deterministic, return_features=True,
                 rngs=None if deterministic else {"dropout": rng},
+                **kwargs,
             )
 
         def stage_loss(params, labels, feats, knn, stage: int):
