@@ -23,7 +23,10 @@ reference's real GPU numbers would be further behind (unfused torch ops,
 DataParallel gather); this isolates the main architectural win honestly.
 
 Env overrides: BENCH_BS, BENCH_TIME_LEN, BENCH_STEPS, BENCH_BERT_LAYERS,
-BENCH_SKIP_BASELINE=1.
+BENCH_SKIP_BASELINE=1, BENCH_EPOCH_SCAN=0 (default 1: run each stage of
+the measured window as ONE scanned XLA program — the solver's
+--epoch_scan production mode, train/steps.py critic_epoch/train_epoch —
+instead of per-batch dispatches).
 """
 
 from __future__ import annotations
@@ -108,22 +111,57 @@ def main():
             offset, jax.random.fold_in(r, 99), use_mi=True)
         return p_main, p_bert, p_vmi, ovs, oms, new_bank, (l1, l2)
 
-    # --- warmup / compile ---
+    epoch_scan = os.environ.get("BENCH_EPOCH_SCAN", "1") == "1"
     new_bank = FeatureBank.create(n_bank, n_bank, d_common)
     state = (p_main, p_bert, p_vmi, opt_vmi_state, opt_main_state)
-    out = one_batch(*state, new_bank, 0, rng)
-    jax.block_until_ready(out[-1])
-    state, new_bank = out[:5], out[5]
 
-    # --- timed ---
-    t0 = time.perf_counter()
-    for i in range(n_steps):
-        out = one_batch(*state, new_bank,
-                        (i * bs) % (n_bank - bs), jax.random.fold_in(rng, i))
+    if epoch_scan:
+        # the solver's --epoch_scan mode: the whole measured window is
+        # TWO XLA dispatches (stage 1 scanned over batches incl. both
+        # critic passes, stage 2 scanned over batches)
+        batches_stack = jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x[None], (n_steps, *x.shape)), batch)
+        labels_stack = jnp.broadcast_to(labels[None], (n_steps, bs))
+
+        def one_window(p_main, p_bert, p_vmi, ovs, oms, new_bank, r):
+            p_vmi, ovs, l1 = steps.critic_epoch(
+                p_main, p_bert, p_vmi, ovs, batches_stack, labels_stack,
+                bank, jax.random.fold_in(r, 0), n_passes=cfg.stage1_n)
+            (p_main, p_bert, oms, losses, mis, outs, new_bank) = (
+                steps.train_epoch(p_main, p_bert, p_vmi, oms, batches_stack,
+                                  labels_stack, bank, new_bank,
+                                  jax.random.fold_in(r, 1), use_mi=True))
+            return (p_main, p_bert, p_vmi, ovs, oms, new_bank,
+                    (l1, losses[-1]))
+
+        out = one_window(*state, new_bank, rng)
+        jax.block_until_ready(out[-1])
         state, new_bank = out[:5], out[5]
-    jax.block_until_ready(out[-1])
-    elapsed = time.perf_counter() - t0
-    samples_per_sec = bs * n_steps / elapsed
+
+        t0 = time.perf_counter()
+        n_windows = 3
+        for i in range(n_windows):
+            out = one_window(*state, new_bank, jax.random.fold_in(rng, i))
+            state, new_bank = out[:5], out[5]
+        jax.block_until_ready(out[-1])
+        elapsed = time.perf_counter() - t0
+        samples_per_sec = bs * n_steps * n_windows / elapsed
+    else:
+        # --- warmup / compile ---
+        out = one_batch(*state, new_bank, 0, rng)
+        jax.block_until_ready(out[-1])
+        state, new_bank = out[:5], out[5]
+
+        # --- timed ---
+        t0 = time.perf_counter()
+        for i in range(n_steps):
+            out = one_batch(*state, new_bank,
+                            (i * bs) % (n_bank - bs),
+                            jax.random.fold_in(rng, i))
+            state, new_bank = out[:5], out[5]
+        jax.block_until_ready(out[-1])
+        elapsed = time.perf_counter() - t0
+        samples_per_sec = bs * n_steps / elapsed
 
     # --- baseline: reference-style host-serialized kNN pattern ---
     vs_baseline = None
