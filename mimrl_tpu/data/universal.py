@@ -20,6 +20,18 @@ from mimrl_tpu.data.sdk import load_sdk_dataset
 from mimrl_tpu.data.tokenizer import WordPieceTokenizer, build_tokenizer
 
 
+def uses_raw_text(opt: MimrlConfig) -> bool:
+    """True when the text modality is raw strings (tokenized to BERT
+    ids); False when it is dense pre-extracted features (glove etc. —
+    the LocalDataset family is always dense, Dec is always raw,
+    SDK/AVEC follow --text)."""
+    if "Dec" in opt.dataset:
+        return True
+    if opt.dataset in LOCAL_DATASETS:
+        return False
+    return opt.text == "text"
+
+
 def get_data_loader(
     opt: MimrlConfig,
     tokenizer: Optional[WordPieceTokenizer] = None,

@@ -53,13 +53,14 @@ class Predictor:
         params = merge_params(solver.params_main, solver.params_bert,
                               solver.params_vmi)
 
+        from mimrl_tpu.train.steps import _model_inputs
+
         @jax.jit
         def forward(batch):
             out = model.apply(
-                {"params": params}, batch["bert_sentences"],
-                batch["bert_sentence_types"],
-                batch["bert_sentence_att_mask"], batch["audio"],
-                batch["video"], deterministic=True, return_features=False)
+                {"params": params}, *_model_inputs(batch),
+                text_features=batch.get("text"),
+                deterministic=True, return_features=False)
             return out[0]
 
         self._forward = forward

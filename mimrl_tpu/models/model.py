@@ -222,13 +222,21 @@ class MimrlModel(nn.Module):
         deterministic: bool = True,
         return_features: bool = True,
         text_hidden: Optional[Array] = None,
+        text_features: Optional[Array] = None,
     ):
         T = self.time_len
-        # BERT last_hidden_state -> common projection. `text_hidden`
-        # bypasses the in-module BERT with an externally computed
-        # [bs, T, d_t] (the pipeline-parallel path runs the layer stack
-        # under shard_map, parallel/pipeline.py).
-        if text_hidden is None:
+        # Text tower, three routes into the common projection W_t:
+        # - default: in-module BERT over the token ids;
+        # - `text_hidden`: externally computed BERT states [bs, T, d_t]
+        #   (the pipeline-parallel path, parallel/pipeline.py);
+        # - `text_features`: dense pre-extracted text features (glove
+        #   etc., [bs, T, d_t]) with NO BERT at all. The reference's
+        #   feature-text path is dead code (Customization.py:86
+        #   references undefined opt.mask); here it works, which is what
+        #   makes the LocalDataset family (mosi_50 etc.) trainable.
+        if text_features is not None:
+            t = text_features
+        elif text_hidden is None:
             t = self.bertmodel(bert_sentences, bert_sentence_types,
                                bert_sentence_att_mask,
                                deterministic=deterministic)
@@ -362,16 +370,19 @@ class MimrlModel(nn.Module):
 
 
 def _init_all_method(self: "MimrlModel", bert_sentences, bert_sentence_types,
-                     bert_sentence_att_mask, a, v):
+                     bert_sentence_att_mask, a, v, text_features=None):
     """Init driver touching EVERY parameter, incl. the MI/CMI estimator
     bank. Flax creates params lazily on first use; the plain forward
     never calls the estimators (they run only in the stage losses), so a
     vanilla ``model.init`` would leave the 'vmi_*'/'vcmi_*' groups empty
     — unlike the reference, whose torch Model materializes everything in
-    __init__ (ref: Model.py:283-303)."""
+    __init__ (ref: Model.py:283-303). With `text_features` (dense text
+    mode) the BERT tower is never touched, so no BERT params exist and
+    no optimizer state is wasted on them."""
     out, F_F, T_F, A_F, V_F = self(
         bert_sentences, bert_sentence_types, bert_sentence_att_mask, a, v,
-        deterministic=True, return_features=True)
+        deterministic=True, return_features=True,
+        text_features=text_features)
     bs = a.shape[0]
     m = (bs // self.k_neighbor) * self.k_neighbor
     dummy = jnp.zeros((m, EST_EMBED_DIM), F_F.dtype)
@@ -382,7 +393,7 @@ def _init_all_method(self: "MimrlModel", bert_sentences, bert_sentence_types,
 
 
 def init_full(model: "MimrlModel", rngs, bert_sentences, bert_sentence_types,
-              bert_sentence_att_mask, a, v):
+              bert_sentence_att_mask, a, v, text_features=None):
     """All-parameter init (forward + estimator bank); returns variables.
 
     Jitted so initialization is ONE compiled program — eager flax init
@@ -391,13 +402,14 @@ def init_full(model: "MimrlModel", rngs, bert_sentences, bert_sentence_types,
 
     @jax.jit
     def _do(rngs, bert_sentences, bert_sentence_types,
-            bert_sentence_att_mask, a, v):
+            bert_sentence_att_mask, a, v, text_features):
         return model.init(rngs, bert_sentences, bert_sentence_types,
                           bert_sentence_att_mask, a, v,
+                          text_features=text_features,
                           method=_init_all_method)
 
     return _do(rngs, bert_sentences, bert_sentence_types,
-               bert_sentence_att_mask, a, v)
+               bert_sentence_att_mask, a, v, text_features)
 
 
 def _fit_time(x: Array, T: int) -> Array:

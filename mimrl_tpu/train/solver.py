@@ -93,18 +93,24 @@ class Solver:
             bert_config=bert_cfg,
         )
 
-        # init params
+        # init params. In dense-text mode (local datasets, SDK/AVEC with
+        # --text != text) the BERT tower is never traced, so no BERT
+        # params or optimizer state exist at all.
+        from mimrl_tpu.data.universal import uses_raw_text
+
+        self.raw_text = uses_raw_text(opt)
         self.root_rng = jax.random.PRNGKey(opt.seed)
         init_rng, ortho_rng, self.loop_rng = jax.random.split(self.root_rng, 3)
         dummy = self._dummy_batch()
         variables = init_full(
             self.model, {"params": init_rng}, dummy["bert_sentences"],
             dummy["bert_sentence_types"], dummy["bert_sentence_att_mask"],
-            dummy["audio"], dummy["video"])
+            dummy["audio"], dummy["video"],
+            text_features=dummy.get("text"))
         params = variables["params"]
         # orthogonal recurrent kernels (ref: Customization.py:18-21)
         params = apply_orthogonal_whh(params, ortho_rng)
-        if opt.bert_weights:
+        if opt.bert_weights and self.raw_text:
             loaded = load_bert_weights(opt.bert_weights, bert_cfg)
             params = dict(params)
             params["bertmodel"] = loaded["params"]
@@ -168,13 +174,16 @@ class Solver:
     # ------------------------------------------------------------------ #
     def _dummy_batch(self) -> Dict[str, np.ndarray]:
         bs, T = self.opt.batch_size, self.opt.time_len
-        return {
+        batch = {
             "bert_sentences": np.zeros((bs, T), np.int32),
             "bert_sentence_types": np.zeros((bs, T), np.int32),
             "bert_sentence_att_mask": np.ones((bs, T), np.int32),
             "audio": np.zeros((bs, T, self.d_a), np.float32),
             "video": np.zeros((bs, T, self.d_v), np.float32),
         }
+        if not self.raw_text:
+            batch["text"] = np.zeros((bs, T, self.d_t), np.float32)
+        return batch
 
     def prepare_checkpoint_log(self):
         task_path = os.path.join(self.opt.task_dir, self.opt.task_name)
@@ -222,12 +231,10 @@ class Solver:
             labels_dev = labels.astype(np.float32)
         model_batch = {k: batch[k] for k in (
             "bert_sentences", "bert_sentence_types", "bert_sentence_att_mask",
-            "audio", "video", "sample_mask") if k in batch}
-        if "bert_sentences" not in model_batch:
-            raise NotImplementedError(
-                "feature-mode text inputs reach a dead path in the reference "
-                "(Customization.py:86 references undefined opt.mask); this "
-                "framework likewise requires --text text for model runs")
+            "text", "audio", "video", "sample_mask") if k in batch}
+        # dense-text mode: model routes batch["text"] -> text_features
+        # (the reference's feature-text path is dead code,
+        # Customization.py:86; this framework makes it functional)
         if self.mesh is not None:
             model_batch = shard_batch(self.mesh, model_batch)
             labels_dev = shard_batch(self.mesh, labels_dev)
@@ -241,15 +248,15 @@ class Solver:
         """Stack one epoch of batches into [NB, bs, ...] arrays for the
         epoch-scan programs (--epoch_scan). The whole epoch's inputs are
         a few MB at these dataset sizes, so one transfer replaces NB."""
-        fields = ("bert_sentences", "bert_sentence_types",
-                  "bert_sentence_att_mask", "audio", "video", "sample_mask")
+        if self.raw_text:
+            fields = ("bert_sentences", "bert_sentence_types",
+                      "bert_sentence_att_mask", "audio", "video",
+                      "sample_mask")
+        else:
+            fields = ("text", "audio", "video", "sample_mask")
         cols = {k: [] for k in fields}
         labels_list, labels_np, masks = [], [], []
         for batch in loader:
-            if "bert_sentences" not in batch:
-                raise NotImplementedError(
-                    "feature-mode text inputs reach a dead path in the "
-                    "reference (Customization.py:86); use --text text")
             for k in fields:
                 cols[k].append(batch[k])
             lab = np.asarray(self.get_label_from_datas(batch))

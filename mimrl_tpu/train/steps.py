@@ -100,10 +100,17 @@ def sample_all_knn(rng: Array, bank: FeatureBank, batch_size: int,
 
 
 def _model_inputs(batch: Dict):
-    return (
-        batch["bert_sentences"], batch["bert_sentence_types"],
-        batch["bert_sentence_att_mask"], batch["audio"], batch["video"],
-    )
+    if "bert_sentences" in batch:
+        return (
+            batch["bert_sentences"], batch["bert_sentence_types"],
+            batch["bert_sentence_att_mask"], batch["audio"], batch["video"],
+        )
+    # dense text mode ("text" [bs, T, d_t]): the BERT args are unused
+    # placeholders (the model routes through text_features instead)
+    bs, T = batch["text"].shape[:2]
+    z = jnp.zeros((bs, T), jnp.int32)
+    return (z, z, jnp.ones((bs, T), jnp.int32), batch["audio"],
+            batch["video"])
 
 
 class StepFactory:
@@ -126,7 +133,10 @@ class StepFactory:
 
         def forward(params, batch, rng, deterministic):
             kwargs = {}
-            if pipe_on:
+            if "text" in batch:
+                # dense pre-extracted text features: no BERT tower
+                kwargs["text_features"] = batch["text"]
+            elif pipe_on:
                 from mimrl_tpu.parallel.pipeline import bert_forward_pipelined
 
                 kwargs["text_hidden"] = bert_forward_pipelined(
