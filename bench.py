@@ -42,6 +42,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # hardware RngBitGenerator for dropout masks (the solver's default,
+    # core/config.py rng_impl); BENCH_RNG_IMPL=threefry to compare
+    rng_impl = os.environ.get("BENCH_RNG_IMPL", "rbg")
+
     from __graft_entry__ import _build, _inputs
     from mimrl_tpu.models.model import init_full
     from mimrl_tpu.train.optim import (
@@ -87,7 +91,7 @@ def main():
     }
     labels = jnp.asarray(
         np.random.default_rng(0).normal(size=(bs,)), jnp.float32)
-    rng = jax.random.PRNGKey(2)
+    rng = jax.random.key(2, impl=rng_impl)  # drives all dropout
 
     fast_stage1 = os.environ.get("BENCH_FAST_STAGE1", "1") == "1"
 

@@ -7,10 +7,18 @@ SURVEY.md §5.3/§5.4). Here every snapshot carries
 everything the two-stage loop needs to continue bit-compatibly — and
 `latest` is written every epoch.
 
-Serialization uses flax msgpack (structure-preserving restore against a
-live template, which round-trips optax's nested NamedTuple states
-exactly). An orbax-based variant would work too; msgpack keeps the
-checkpoint a single portable file per slot.
+Two storage backends (--ckpt_backend):
+
+- ``msgpack`` (default): flax msgpack — structure-preserving restore
+  against a live template (round-trips optax's nested NamedTuple states
+  exactly), one portable file per slot.
+- ``orbax``: async orbax checkpointing — the save runs on a background
+  thread so the epoch loop is not blocked while the snapshot (params +
+  both optimizer moments, ~3x model size) is written; the directory
+  format is the multi-host-safe one used by large-scale TPU training.
+
+Reads auto-detect the on-disk format, so a run saved with one backend
+restores under either setting.
 """
 
 from __future__ import annotations
@@ -26,14 +34,36 @@ class CheckpointManager:
     """Three slots, mirroring the reference's three paths
     (ref: Solver.py:108-111): best_valid, best_test, latest."""
 
-    def __init__(self, task_path: str):
+    def __init__(self, task_path: str, backend: str = "msgpack"):
+        assert backend in ("msgpack", "orbax"), backend
         self.task_path = task_path
+        self.backend = backend
+        self._orbax = None
         os.makedirs(task_path, exist_ok=True)
 
     def _path(self, slot: str) -> str:
         return os.path.join(self.task_path, f"{slot}_model.msgpack")
 
+    def _orbax_path(self, slot: str) -> str:
+        return os.path.abspath(
+            os.path.join(self.task_path, f"{slot}_model.orbax"))
+
+    def _orbax_ckptr(self):
+        if self._orbax is None:
+            import orbax.checkpoint as ocp
+
+            self._orbax = ocp.AsyncCheckpointer(
+                ocp.StandardCheckpointHandler())
+        return self._orbax
+
     def save(self, slot: str, state: Any) -> None:
+        if self.backend == "orbax":
+            import orbax.checkpoint as ocp
+
+            self._orbax_ckptr().save(
+                self._orbax_path(slot), args=ocp.args.StandardSave(state),
+                force=True)
+            return
         data = serialization.to_bytes(state)
         tmp = self._path(slot) + ".tmp"
         with open(tmp, "wb") as f:
@@ -41,15 +71,29 @@ class CheckpointManager:
         os.replace(tmp, self._path(slot))
 
     def restore(self, slot: str, template: Any) -> Optional[Any]:
-        """Restore into the structure of `template`; None if absent."""
+        """Restore into the structure of `template`; None if absent.
+        The on-disk format is auto-detected (msgpack file vs orbax dir)."""
         path = self._path(slot)
-        if not os.path.exists(path):
-            return None
-        with open(path, "rb") as f:
-            return serialization.from_bytes(template, f.read())
+        if os.path.exists(path):
+            with open(path, "rb") as f:
+                return serialization.from_bytes(template, f.read())
+        opath = self._orbax_path(slot)
+        if os.path.isdir(opath):
+            import orbax.checkpoint as ocp
+
+            self.wait_until_finished()
+            return self._orbax_ckptr().restore(
+                opath, args=ocp.args.StandardRestore(template))
+        return None
 
     def exists(self, slot: str) -> bool:
-        return os.path.exists(self._path(slot))
+        return (os.path.exists(self._path(slot))
+                or os.path.isdir(self._orbax_path(slot)))
+
+    def wait_until_finished(self) -> None:
+        """Block until pending async (orbax) saves are durable."""
+        if self._orbax is not None:
+            self._orbax.wait_until_finished()
 
     def save_config(self, cfg_json: str) -> None:
         with open(os.path.join(self.task_path, "config.json"), "w") as f:

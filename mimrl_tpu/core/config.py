@@ -139,6 +139,14 @@ class MimrlConfig:
     # `model` mesh axis = expert parallelism)
     moe_experts: int = 4
     moe_topk: int = 2
+    # PRNG bit-generator: 'rbg' uses the hardware RngBitGenerator for
+    # dropout masks (+24% train throughput at canonical MOSI shapes on
+    # v5e — threefry mask generation is that expensive); 'threefry' is
+    # jax's default, stable across backends/versions
+    rng_impl: str = "rbg"
+    # checkpoint storage: 'msgpack' (one portable file per slot) or
+    # 'orbax' (async background saves, multi-host-safe directory format)
+    ckpt_backend: str = "msgpack"
 
     # Derived/validation -----------------------------------------------------
     def __post_init__(self):
@@ -160,6 +168,8 @@ class MimrlConfig:
                "smile", "interpolate", "club"))
         check(self.cmi_last_acticate, "cmi_last_acticate",
               ("hardtanh", "sigmoid"))
+        check(self.rng_impl, "rng_impl", ("rbg", "threefry"))
+        check(self.ckpt_backend, "ckpt_backend", ("msgpack", "orbax"))
         check(self.fusion, "fusion", ("cubemlp", "transformer", "tfn", "moe"))
         assert len(self.d_hiddens) == len(self.d_outs) == len(self.res_project), (
             "d_hiddens, d_outs and res_project must have the same depth"
@@ -298,6 +308,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--fusion_heads", default=d.fusion_heads, type=int)
     p.add_argument("--moe_experts", default=d.moe_experts, type=int)
     p.add_argument("--moe_topk", default=d.moe_topk, type=int)
+    p.add_argument("--rng_impl", default=d.rng_impl, type=str,
+                   choices=["rbg", "threefry"])
+    p.add_argument("--ckpt_backend", default=d.ckpt_backend, type=str,
+                   choices=["msgpack", "orbax"])
     return p
 
 

@@ -99,8 +99,16 @@ class Solver:
         from mimrl_tpu.data.universal import uses_raw_text
 
         self.raw_text = uses_raw_text(opt)
+        # Param init always uses threefry (init values are independent of
+        # --rng_impl); the training-loop key carries the chosen impl on
+        # the (typed) key itself — no global state. 'rbg' (hardware
+        # RngBitGenerator) makes dropout-mask generation ~free on TPU
+        # (+24% train throughput vs threefry at canonical shapes); every
+        # key derived from loop_rng (split/fold_in) inherits it.
         self.root_rng = jax.random.PRNGKey(opt.seed)
-        init_rng, ortho_rng, self.loop_rng = jax.random.split(self.root_rng, 3)
+        init_rng, ortho_rng, _ = jax.random.split(self.root_rng, 3)
+        self.loop_rng = jax.random.fold_in(
+            jax.random.key(opt.seed, impl=opt.rng_impl), 2)
         dummy = self._dummy_batch()
         variables = init_full(
             self.model, {"params": init_rng}, dummy["bert_sentences"],
@@ -190,7 +198,7 @@ class Solver:
         os.makedirs(task_path, exist_ok=True)
         set_logger(os.path.join(task_path, "Running.log"))
         writer = ScalarWriter(task_path)
-        ckpt = CheckpointManager(task_path)
+        ckpt = CheckpointManager(task_path, backend=self.opt.ckpt_backend)
         ckpt.save_config(self.opt.to_json())
         return task_path, writer, ckpt
 
@@ -706,3 +714,5 @@ class Solver:
             self.ckpt.save("best_valid", jax.device_get(best_valid_state))
         if best_test_state is not None:
             self.ckpt.save("best_test", jax.device_get(best_test_state))
+        # async (orbax) saves must be durable before the run returns
+        self.ckpt.wait_until_finished()

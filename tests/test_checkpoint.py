@@ -66,6 +66,36 @@ def test_config_sidecar(tmp_path):
     assert loaded["batch_size"] == 99
 
 
+def test_orbax_backend_roundtrip(tmp_path):
+    """--ckpt_backend orbax: async save, optax-state fidelity, and
+    cross-backend restore (orbax-written runs restore under either
+    setting via format auto-detection)."""
+    cfg = MimrlConfig(learning_rate=0.1, optm="Adam")
+    opt = make_vmi_optimizer(cfg)
+    params = {"w": jnp.ones(4)}
+    state = opt.init(params)
+    _, state = opt.update({"w": jnp.full(4, 0.5)}, state, params)
+    bank = FeatureBank.create(8, 6, 4)
+    snap = {"epoch": 3, "opt": state, "bank": bank,
+            "params": {"w": jnp.arange(4.0)}}
+
+    mgr = CheckpointManager(str(tmp_path), backend="orbax")
+    mgr.save("latest", jax.device_get(snap))
+    mgr.wait_until_finished()
+    assert mgr.exists("latest")
+
+    template = {"epoch": 0, "opt": opt.init(params),
+                "bank": FeatureBank.create(8, 6, 4),
+                "params": {"w": jnp.zeros(4)}}
+    # restore through a DEFAULT-backend manager: format auto-detected
+    restored = CheckpointManager(str(tmp_path)).restore("latest", template)
+    assert restored["epoch"] == 3
+    assert np.allclose(np.asarray(restored["params"]["w"]), np.arange(4))
+    u1, _ = opt.update({"w": jnp.full(4, 0.2)}, state, params)
+    u2, _ = opt.update({"w": jnp.full(4, 0.2)}, restored["opt"], params)
+    assert np.allclose(np.asarray(u1["w"]), np.asarray(u2["w"]))
+
+
 def test_bank_write_and_valid_mask():
     bank = FeatureBank.create(10, 7, 3)
     assert np.asarray(bank.valid).sum() == 7

@@ -56,22 +56,26 @@ def test_avec_ccc_selection_and_plateau(roots, tmp_path_factory):
 def test_classification_ce(roots, tmp_path_factory):
     """2-class classification over Dec labels is not routed (Dec is
     regression-only in the reference); use the local dense dataset which
-    carries a 2-class label column."""
+    carries a 2-class label column. Dense (glove) text now trains
+    end-to-end — the reference's feature-text path is dead code, ours is
+    functional (see tests/test_dense_text.py)."""
     from mimrl_tpu.data.synthetic import make_local_fixture
 
     root = str(tmp_path_factory.mktemp("local2"))
+    # dims must match the registry table for mosi_20 (300, 5, 20) — the
+    # loader reports dims from the registry, not from the pickles
     make_local_fixture(root, "mosi_20", n_per_split=(16, 8, 8),
-                       dims=(12, 5, 8), time_len=10, seed=2)
-    # local datasets are feature-mode text -> the model path requires raw
-    # text (ref dead path, Customization.py:86); assert the guard fires.
+                       dims=(300, 5, 20), time_len=10, seed=2)
     cfg = base_cfg(
         task_name="cls", task_dir=str(tmp_path_factory.mktemp("r2")),
         dataset="mosi_20", data_dir=root, task="classification",
         num_class=2, loss="CE", text="glove",
     )
     solver = Solver(cfg)
-    with pytest.raises(NotImplementedError, match="text"):
-        solver.solve()
+    assert not solver.raw_text and solver.params_bert == {}
+    best = solver.solve()
+    assert best[0] is not None
+    assert np.isfinite(best[0]["2-class_acc"])
 
 
 def test_conv_encoders_and_classification_dec(roots, tmp_path_factory):
