@@ -245,3 +245,67 @@ def show_history_mi(history_mi, mi_score, true_mi):
     plt.title("Mutual information estimation, true MI is "
               + str(np.round(true_mi, 2)))
     return plt.gcf()
+
+
+def run_sweep(bound_types=None, rhos=(0.3, 0.6, 0.9), dim=5, n=2048,
+              epochs=60, seed=0, critic_type="separate",
+              baseline_type="constant", estimation="max", plot_dir=None,
+              batch_size=256, lr=2e-3, weight_decay=0.9):
+    """Estimate MI for correlated Gaussians across bounds x correlations
+    and report against the analytic truth — the executable calibration
+    sweep the reference ships as VMI.py's __main__ (VMI.py:409-461).
+    Defaults match the settings the test suite validates recovery at
+    (tests/test_bounds.py::test_gaussian_mi_recovery).
+    Returns {bound: [(rho, true_mi, estimate), ...]}."""
+    bound_types = bound_types or [
+        "dv", "mine", "tuba", "nwj", "infonce", "js", "js_fgan", "smile"]
+    key = jax.random.PRNGKey(seed)
+    results = {}
+    for bound in bound_types:
+        rows = []
+        for i, rho in enumerate(rhos):
+            k_data, k_train = jax.random.split(
+                jax.random.fold_in(key, hash((bound, i)) % (2 ** 31)))
+            x, y = sample_correlated_gaussian(k_data, rho=rho, dim=dim,
+                                              num_samples=n)
+            true = rho_to_mi(dim, rho)
+            base = ("unnormalized"
+                    if bound in ("interpolate",) else baseline_type)
+            score, hist = compute_mi(
+                k_train, critic_type, base, bound, np.asarray(x),
+                np.asarray(y), estimation=estimation, epochs=epochs,
+                batch_size=batch_size, lr=lr, weight_decay=weight_decay)
+            rows.append((rho, true, score))
+            print(f"{bound:10s} rho={rho:.2f} true={true:6.3f} "
+                  f"est={score:6.3f}")
+            if plot_dir is not None:
+                import os
+
+                os.makedirs(plot_dir, exist_ok=True)
+                fig = show_history_mi(hist, score, true)
+                fig.savefig(
+                    os.path.join(plot_dir, f"{bound}_rho{rho:.2f}.png"))
+                fig.clf()
+        results[bound] = rows
+    return results
+
+
+if __name__ == "__main__":
+    import argparse
+
+    ap = argparse.ArgumentParser(
+        description="MI-estimator calibration sweep vs analytic Gaussians")
+    ap.add_argument("--bounds", nargs="*", default=None)
+    ap.add_argument("--rhos", nargs="*", type=float, default=[0.3, 0.6, 0.9])
+    ap.add_argument("--dim", type=int, default=5)
+    ap.add_argument("--epochs", type=int, default=60)
+    ap.add_argument("--critic_type", default="separate")
+    ap.add_argument("--baseline_type", default="constant")
+    ap.add_argument("--estimation", default="mean",
+                    choices=["max", "mean", "smooth"])
+    ap.add_argument("--plot_dir", default=None)
+    ap.add_argument("--seed", type=int, default=0)
+    a = ap.parse_args()
+    run_sweep(a.bounds, tuple(a.rhos), a.dim, epochs=a.epochs, seed=a.seed,
+              critic_type=a.critic_type, baseline_type=a.baseline_type,
+              estimation=a.estimation, plot_dir=a.plot_dir)

@@ -133,6 +133,18 @@ def test_gaussian_mi_recovery(bound, critic, baseline):
     assert mi_score < 2.5 * true_mi, (bound, mi_score, true_mi)
 
 
+def test_run_sweep_smoke():
+    """The executable calibration sweep (python -m mimrl_tpu.mi.standalone,
+    the reference's VMI.py __main__) returns (rho, true, est) rows."""
+    from mimrl_tpu.mi.standalone import run_sweep
+
+    res = run_sweep(bound_types=["infonce"], rhos=(0.7,), n=512, epochs=8)
+    rows = res["infonce"]
+    assert len(rows) == 1
+    rho, true_mi, est = rows[0]
+    assert rho == 0.7 and true_mi > 1.5 and np.isfinite(est)
+
+
 def test_gaussian_js_fgan_signal():
     """js_fgan maximizes a Jensen-Shannon objective, NOT an MI-scale
     quantity: its optimum is <= 0 and its value at an uninformative
