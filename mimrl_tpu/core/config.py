@@ -147,6 +147,10 @@ class MimrlConfig:
     # checkpoint storage: 'msgpack' (one portable file per slot) or
     # 'orbax' (async background saves, multi-host-safe directory format)
     ckpt_backend: str = "msgpack"
+    # failure containment: skip the optimizer update (params and opt
+    # state unchanged) whenever any gradient is NaN/Inf, instead of
+    # poisoning the weights (SURVEY.md §5.3: the reference has none)
+    skip_nonfinite_updates: bool = False
 
     # Derived/validation -----------------------------------------------------
     def __post_init__(self):
@@ -312,6 +316,7 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    choices=["rbg", "threefry"])
     p.add_argument("--ckpt_backend", default=d.ckpt_backend, type=str,
                    choices=["msgpack", "orbax"])
+    p.add_argument("--skip_nonfinite_updates", action="store_true")
     return p
 
 

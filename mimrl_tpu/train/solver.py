@@ -572,6 +572,14 @@ class Solver:
         best_targets = [None, None]
         best_valid_state, best_test_state = None, None
 
+        # Graceful preemption (SURVEY.md §5.3: the reference has no
+        # failure/preemption handling at all): SIGTERM/SIGINT sets a
+        # flag; the loop finishes the current epoch, writes a resumable
+        # `latest` checkpoint, and returns. `--resume <task_dir>`
+        # continues from it.
+        self._preempted = False
+        prev_handlers = self._install_preemption_handlers()
+
         profiling = False
         for epoch in range(self.start_epoch, opt.epochs_num):
             if opt.profile_dir and epoch == self.start_epoch + 1:
@@ -627,7 +635,13 @@ class Solver:
                 jax.profiler.stop_trace()
                 profiling = False
                 log_message(f"Profiler trace written to {opt.profile_dir}")
+            if self._preempted:
+                log_message(f"Preemption requested — checkpointing at "
+                            f"epoch {epoch} and stopping.")
+                self.ckpt.save("latest", self._state_dict(epoch))
+                break
 
+        self._restore_signal_handlers(prev_handlers)
         log_message("Training complete.")
         self.writer.close()
         if best_score[0] is not None:
@@ -635,6 +649,34 @@ class Solver:
         self.save_results(best_predictions, best_targets, best_features,
                           best_valid_state, best_test_state)
         return best_score
+
+    # ------------------------------------------------------------------ #
+    def request_preemption(self, *_args):
+        """Mark the run for a graceful stop at the end of the current
+        epoch (signal-handler entry point; also callable directly)."""
+        self._preempted = True
+
+    def _install_preemption_handlers(self):
+        import signal
+        import threading
+
+        if threading.current_thread() is not threading.main_thread():
+            return None  # signals only deliverable to the main thread
+        prev = {}
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            try:
+                prev[sig] = signal.signal(sig, self.request_preemption)
+            except (ValueError, OSError):  # non-main interpreter states
+                return None
+        return prev
+
+    def _restore_signal_handlers(self, prev):
+        if not prev:
+            return
+        import signal
+
+        for sig, handler in prev.items():
+            signal.signal(sig, handler)
 
     # ------------------------------------------------------------------ #
     def build_message(self, epoch, train_loss, train_mis, train_score,

@@ -99,6 +99,18 @@ def sample_all_knn(rng: Array, bank: FeatureBank, batch_size: int,
     }
 
 
+def _all_finite(tree) -> Array:
+    """Scalar bool: every leaf of `tree` is finite."""
+    leaves = jax.tree_util.tree_leaves(tree)
+    return jnp.all(jnp.stack([jnp.all(jnp.isfinite(l)) for l in leaves]))
+
+
+def _select_tree(pred: Array, on_true, on_false):
+    """Elementwise tree select: pred ? on_true : on_false."""
+    return jax.tree_util.tree_map(
+        lambda a, b: jnp.where(pred, a, b), on_true, on_false)
+
+
 def _model_inputs(batch: Dict):
     if "bert_sentences" in batch:
         return (
@@ -178,9 +190,17 @@ class StepFactory:
 
             (loss, mis), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(params_vmi)
-            updates, opt_state = opt_vmi.update(grads, opt_state, params_vmi)
-            params_vmi = optax.apply_updates(params_vmi, updates)
-            return params_vmi, opt_state, loss, jnp.stack(mis)
+            updates, new_opt_state = opt_vmi.update(grads, opt_state,
+                                                    params_vmi)
+            new_params = optax.apply_updates(params_vmi, updates)
+            if cfg.skip_nonfinite_updates:
+                # loss included: a NaN loss can yield finite-but-garbage
+                # grads (XLA lowers abs/max backwards to NaN-swallowing
+                # comparisons), so grads alone under-detect
+                ok = jnp.isfinite(loss) & _all_finite(grads)
+                new_params = _select_tree(ok, new_params, params_vmi)
+                new_opt_state = _select_tree(ok, new_opt_state, opt_state)
+            return new_params, new_opt_state, loss, jnp.stack(mis)
 
         # ---------------- stage 2: main update ---------------- #
         def train_step(params_main, params_bert, params_vmi, opt_state,
@@ -214,11 +234,15 @@ class StepFactory:
                 (params_main, params_bert))
             out, F_F, T_F, A_F, V_F, mis, task_loss = aux
             g_main, g_bert = grads
-            updates, opt_state = opt_main.update(
-                merge_params(g_main, g_bert), opt_state,
-                merge_params(params_main, params_bert))
-            merged_new = optax.apply_updates(
-                merge_params(params_main, params_bert), updates)
+            merged_old = merge_params(params_main, params_bert)
+            updates, new_opt_state = opt_main.update(
+                merge_params(g_main, g_bert), opt_state, merged_old)
+            merged_new = optax.apply_updates(merged_old, updates)
+            if cfg.skip_nonfinite_updates:
+                ok = jnp.isfinite(loss) & _all_finite(grads)
+                merged_new = _select_tree(ok, merged_new, merged_old)
+                new_opt_state = _select_tree(ok, new_opt_state, opt_state)
+            opt_state = new_opt_state
             params_main = {k: merged_new[k] for k in params_main}
             params_bert = {k: merged_new[k] for k in params_bert}
 
