@@ -307,9 +307,14 @@ class StepFactory:
                     return sum(l * c for l, c in zip(losses, c1))
 
                 loss, grads = jax.value_and_grad(loss_fn)(p_vmi)
-                updates, opt_state = opt_vmi.update(grads, opt_state, p_vmi)
-                p_vmi = optax.apply_updates(p_vmi, updates)
-                return (p_vmi, opt_state), loss
+                updates, new_opt_state = opt_vmi.update(grads, opt_state,
+                                                        p_vmi)
+                new_p = optax.apply_updates(p_vmi, updates)
+                if cfg.skip_nonfinite_updates:
+                    ok = jnp.isfinite(loss) & _all_finite(grads)
+                    new_p = _select_tree(ok, new_p, p_vmi)
+                    new_opt_state = _select_tree(ok, new_opt_state, opt_state)
+                return (new_p, new_opt_state), loss
 
             # n_passes sweeps over the cached features (--fast_stage1
             # semantics: features fixed within the stage)
@@ -382,9 +387,14 @@ class StepFactory:
 
             (loss, mis), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(params_vmi)
-            updates, opt_state = opt_vmi.update(grads, opt_state, params_vmi)
-            params_vmi = optax.apply_updates(params_vmi, updates)
-            return params_vmi, opt_state, loss, jnp.stack(mis)
+            updates, new_opt_state = opt_vmi.update(grads, opt_state,
+                                                    params_vmi)
+            new_params = optax.apply_updates(params_vmi, updates)
+            if cfg.skip_nonfinite_updates:
+                ok = jnp.isfinite(loss) & _all_finite(grads)
+                new_params = _select_tree(ok, new_params, params_vmi)
+                new_opt_state = _select_tree(ok, new_opt_state, opt_state)
+            return new_params, new_opt_state, loss, jnp.stack(mis)
 
         # ---------------- gradient debug (--check_gradient) ---------------- #
         def grad_debug_step(params_main, params_bert, params_vmi, batch,

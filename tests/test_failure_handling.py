@@ -93,6 +93,45 @@ def test_skip_nonfinite_updates_guards_params():
     assert changed  # garbage update applied without the guard
 
 
+def test_guard_covers_critic_paths():
+    """The guard must also protect the critic updates (per-batch AND
+    epoch-scan stage-1 bodies): poisoned features -> critic params
+    unchanged."""
+    import __graft_entry__ as ge
+    from mimrl_tpu.models.model import init_full
+    from mimrl_tpu.train.optim import (
+        make_main_optimizer, make_vmi_optimizer, merge_params,
+        partition_params)
+    from mimrl_tpu.train.steps import FeatureBank, StepFactory
+
+    bs, time_len, d_a, d_v, d_common = 4, 8, 6, 4, 16
+    cfg, model = ge._build(bs, time_len, d_a, d_v, d_common=d_common,
+                           bert_layers=2, bert_hidden=32, bert_heads=2,
+                           cube_l=4)
+    cfg = cfg.replace(skip_nonfinite_updates=True)
+    inputs = ge._inputs(bs, time_len, d_a, d_v)
+    params = init_full(model, {"params": jax.random.PRNGKey(0)},
+                       *inputs)["params"]
+    p_main, p_bert, p_vmi = partition_params(params)
+    opt_main = make_main_optimizer(cfg, p_main, p_bert)
+    opt_vmi = make_vmi_optimizer(cfg)
+    ovs = opt_vmi.init(p_vmi)
+    steps = StepFactory(model, cfg, opt_main, opt_vmi)
+    bank = FeatureBank.create(2 * bs, 2 * bs, d_common)
+    labels = jnp.zeros((bs,), jnp.float32)
+    nan_feat = jnp.full((bs, d_common), jnp.nan, jnp.float32)
+    feats = (nan_feat, nan_feat, nan_feat, nan_feat)
+    before = jax.device_get(p_vmi)
+
+    p_vmi2, _, loss, _ = steps.critic_update(
+        p_main, p_bert, p_vmi, ovs, feats, labels, bank,
+        jax.random.PRNGKey(1))
+    after = jax.device_get(p_vmi2)
+    for path, leaf in jax.tree_util.tree_leaves_with_path(after):
+        np.testing.assert_array_equal(leaf, _lookup(before, path),
+                                      err_msg=jax.tree_util.keystr(path))
+
+
 def _lookup(tree, path):
     node = tree
     for p in path:
