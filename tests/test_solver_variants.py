@@ -145,3 +145,50 @@ def test_pom_sdk_label_routing(tmp_path_factory):
     assert set(best[0]) == {"mae", "corr", "2(pos/neg)-class_acc",
                             "2(nneg/neg)-class_acc", "2(pos/neg)-class_f1",
                             "2(nneg/neg)-class_f1"}
+
+
+def test_pipeline_parallel_solver_loop(roots, tmp_path_factory):
+    """Full two-stage loop with the BERT stack pipelined over a
+    (data=2, pipe=2) mesh through the CLI config surface
+    (--mesh_pipe/--pipe_microbatches)."""
+    dec, _ = roots
+    cfg = base_cfg(
+        task_name="pp", task_dir=str(tmp_path_factory.mktemp("rpp")),
+        dataset="mosi_Dec", data_dir=dec, mesh_data=2, mesh_pipe=2,
+        pipe_microbatches=2, parallel=True,
+    )
+    solver = Solver(cfg)
+    assert solver.mesh is not None and solver.mesh.shape["pipe"] == 2
+    best = solver.solve()
+    assert best[0] is not None and np.isfinite(best[0]["mae"])
+
+
+def test_seq_shard_solver_loop(roots, tmp_path_factory):
+    """Full loop with Megatron-style sequence sharding of the BERT
+    activations over a (data=2, model=2) mesh (--seq_shard)."""
+    dec, _ = roots
+    cfg = base_cfg(
+        task_name="sp", task_dir=str(tmp_path_factory.mktemp("rsp")),
+        dataset="mosi_Dec", data_dir=dec, mesh_data=2, mesh_model=2,
+        seq_shard=True, parallel=True,
+    )
+    solver = Solver(cfg)
+    assert solver.model.bert_config.seq_sharding is not None
+    best = solver.solve()
+    assert best[0] is not None and np.isfinite(best[0]["mae"])
+
+
+def test_moe_fusion_solver_loop(roots, tmp_path_factory):
+    """Full loop with the expert-parallel MoE fusion encoder over a
+    (data=2, model=2) mesh (--fusion moe)."""
+    dec, _ = roots
+    cfg = base_cfg(
+        task_name="moe", task_dir=str(tmp_path_factory.mktemp("rmoe")),
+        dataset="mosi_Dec", data_dir=dec, mesh_data=2, mesh_model=2,
+        fusion="moe", fusion_layers=1, fusion_heads=2, moe_experts=2,
+        moe_topk=1, parallel=True,
+    )
+    solver = Solver(cfg)
+    assert solver.model.moe_ep_sharding is not None
+    best = solver.solve()
+    assert best[0] is not None and np.isfinite(best[0]["mae"])
