@@ -206,6 +206,12 @@ def main():
                 jax.block_until_ready(out[name])  # device round-trip
             return out
 
+        # warm up the per-batch programs (in epoch-scan mode they were
+        # never compiled; the baseline must not be charged for jit time)
+        out = one_batch(*state, new_bank, 0, jax.random.fold_in(rng, 999))
+        jax.block_until_ready(out[-1])
+        state, new_bank = out[:5], out[5]
+
         t0 = time.perf_counter()
         n_base = max(n_steps // 2, 3)
         for i in range(n_base):
