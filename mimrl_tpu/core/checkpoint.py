@@ -72,13 +72,21 @@ class CheckpointManager:
 
     def restore(self, slot: str, template: Any) -> Optional[Any]:
         """Restore into the structure of `template`; None if absent.
-        The on-disk format is auto-detected (msgpack file vs orbax dir)."""
+        The on-disk format is auto-detected (msgpack file vs orbax dir);
+        when BOTH exist (a run switched --ckpt_backend mid-life without
+        cleaning up), the most recently written one wins — otherwise a
+        stale old-format snapshot would silently shadow newer state."""
         path = self._path(slot)
-        if os.path.exists(path):
+        opath = self._orbax_path(slot)
+        has_msgpack = os.path.exists(path)
+        has_orbax = os.path.isdir(opath)
+        if has_msgpack and has_orbax:
+            has_msgpack = os.path.getmtime(path) >= os.path.getmtime(opath)
+            has_orbax = not has_msgpack
+        if has_msgpack:
             with open(path, "rb") as f:
                 return serialization.from_bytes(template, f.read())
-        opath = self._orbax_path(slot)
-        if os.path.isdir(opath):
+        if has_orbax:
             import orbax.checkpoint as ocp
 
             self.wait_until_finished()

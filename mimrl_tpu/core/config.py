@@ -174,6 +174,14 @@ class MimrlConfig:
               ("hardtanh", "sigmoid"))
         check(self.rng_impl, "rng_impl", ("rbg", "threefry"))
         check(self.ckpt_backend, "ckpt_backend", ("msgpack", "orbax"))
+        assert not (self.seq_shard and self.mesh_pipe > 1), (
+            "--seq_shard and --mesh_pipe are mutually exclusive: the "
+            "pipelined BERT path bypasses the in-module layer stack where "
+            "the sequence-sharding constraints live, so sequence "
+            "parallelism would be a silent no-op")
+        assert self.moe_topk <= self.moe_experts, (
+            f"--moe_topk {self.moe_topk} cannot exceed --moe_experts "
+            f"{self.moe_experts}")
         check(self.fusion, "fusion", ("cubemlp", "transformer", "tfn", "moe"))
         assert len(self.d_hiddens) == len(self.d_outs) == len(self.res_project), (
             "d_hiddens, d_outs and res_project must have the same depth"

@@ -261,11 +261,13 @@ def run_sweep(bound_types=None, rhos=(0.3, 0.6, 0.9), dim=5, n=2048,
         "dv", "mine", "tuba", "nwj", "infonce", "js", "js_fgan", "smile"]
     key = jax.random.PRNGKey(seed)
     results = {}
-    for bound in bound_types:
+    for b_idx, bound in enumerate(bound_types):
         rows = []
         for i, rho in enumerate(rhos):
+            # deterministic fold (python hash() is salted per process,
+            # which would defeat --seed)
             k_data, k_train = jax.random.split(
-                jax.random.fold_in(key, hash((bound, i)) % (2 ** 31)))
+                jax.random.fold_in(key, b_idx * 1000 + i))
             x, y = sample_correlated_gaussian(k_data, rho=rho, dim=dim,
                                               num_samples=n)
             true = rho_to_mi(dim, rho)

@@ -140,9 +140,13 @@ class Solver:
         self.base_lr_main = opt.learning_rate
         self.base_lr_vmi = opt.learning_rate * opt.mi_lr_rate
 
-        # mesh / sharding ("--parallel" is implicit: shard when >1 device)
+        # mesh / sharding ("--parallel" is implicit: shard when >1
+        # device). An explicit --mesh_data 1 still builds the mesh when
+        # another axis is requested (pure pipeline/tensor parallelism).
         n_dev = len(jax.devices())
-        if opt.mesh_data != 1 and n_dev > 1:
+        wants_mesh = (opt.mesh_data != 1 or opt.mesh_model > 1
+                      or opt.mesh_pipe > 1)
+        if wants_mesh and n_dev > 1:
             self.mesh = make_mesh(opt.mesh_data, opt.mesh_model,
                                   opt.mesh_pipe)
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -579,7 +583,18 @@ class Solver:
         # continues from it.
         self._preempted = False
         prev_handlers = self._install_preemption_handlers()
+        try:
+            return self._solve_loop(opt, best_score, best_predictions,
+                                    best_features, best_targets,
+                                    best_valid_state, best_test_state)
+        finally:
+            # always restore SIGINT/SIGTERM, even if the loop raised —
+            # a leaked handler would swallow Ctrl+C for the rest of the
+            # process and keep this Solver (params, banks) alive
+            self._restore_signal_handlers(prev_handlers)
 
+    def _solve_loop(self, opt, best_score, best_predictions, best_features,
+                    best_targets, best_valid_state, best_test_state):
         profiling = False
         for epoch in range(self.start_epoch, opt.epochs_num):
             if opt.profile_dir and epoch == self.start_epoch + 1:
@@ -641,7 +656,6 @@ class Solver:
                 self.ckpt.save("latest", self._state_dict(epoch))
                 break
 
-        self._restore_signal_handlers(prev_handlers)
         log_message("Training complete.")
         self.writer.close()
         if best_score[0] is not None:
@@ -653,8 +667,12 @@ class Solver:
     # ------------------------------------------------------------------ #
     def request_preemption(self, *_args):
         """Mark the run for a graceful stop at the end of the current
-        epoch (signal-handler entry point; also callable directly)."""
+        epoch (signal-handler entry point; also callable directly).
+        On the FIRST signal the previous handlers are restored, so a
+        second Ctrl+C aborts immediately instead of being swallowed."""
         self._preempted = True
+        self._restore_signal_handlers(getattr(self, "_prev_handlers", None))
+        self._prev_handlers = None
 
     def _install_preemption_handlers(self):
         import signal
@@ -668,6 +686,7 @@ class Solver:
                 prev[sig] = signal.signal(sig, self.request_preemption)
             except (ValueError, OSError):  # non-main interpreter states
                 return None
+        self._prev_handlers = prev
         return prev
 
     def _restore_signal_handlers(self, prev):

@@ -111,6 +111,21 @@ def _select_tree(pred: Array, on_true, on_false):
         lambda a, b: jnp.where(pred, a, b), on_true, on_false)
 
 
+def _guarded_update(enabled: bool, loss, grads, new_params, old_params,
+                    new_opt_state, old_opt_state):
+    """Apply the --skip_nonfinite_updates containment: when enabled and
+    the loss or any gradient is NaN/Inf, keep the old params/opt state.
+    The loss is checked as well as the grads because XLA lowers abs/max
+    backwards to NaN-swallowing comparisons — NaN targets yield a NaN
+    loss with finite *garbage* gradients that a grads-only check misses.
+    Returns (params, opt_state, ok)."""
+    if not enabled:
+        return new_params, new_opt_state, jnp.bool_(True)
+    ok = jnp.isfinite(loss) & _all_finite(grads)
+    return (_select_tree(ok, new_params, old_params),
+            _select_tree(ok, new_opt_state, old_opt_state), ok)
+
+
 def _model_inputs(batch: Dict):
     if "bert_sentences" in batch:
         return (
@@ -193,13 +208,9 @@ class StepFactory:
             updates, new_opt_state = opt_vmi.update(grads, opt_state,
                                                     params_vmi)
             new_params = optax.apply_updates(params_vmi, updates)
-            if cfg.skip_nonfinite_updates:
-                # loss included: a NaN loss can yield finite-but-garbage
-                # grads (XLA lowers abs/max backwards to NaN-swallowing
-                # comparisons), so grads alone under-detect
-                ok = jnp.isfinite(loss) & _all_finite(grads)
-                new_params = _select_tree(ok, new_params, params_vmi)
-                new_opt_state = _select_tree(ok, new_opt_state, opt_state)
+            new_params, new_opt_state, _ = _guarded_update(
+                cfg.skip_nonfinite_updates, loss, grads, new_params,
+                params_vmi, new_opt_state, opt_state)
             return new_params, new_opt_state, loss, jnp.stack(mis)
 
         # ---------------- stage 2: main update ---------------- #
@@ -238,15 +249,22 @@ class StepFactory:
             updates, new_opt_state = opt_main.update(
                 merge_params(g_main, g_bert), opt_state, merged_old)
             merged_new = optax.apply_updates(merged_old, updates)
-            if cfg.skip_nonfinite_updates:
-                ok = jnp.isfinite(loss) & _all_finite(grads)
-                merged_new = _select_tree(ok, merged_new, merged_old)
-                new_opt_state = _select_tree(ok, new_opt_state, opt_state)
+            merged_new, new_opt_state, ok = _guarded_update(
+                cfg.skip_nonfinite_updates, loss, grads, merged_new,
+                merged_old, new_opt_state, opt_state)
             opt_state = new_opt_state
             params_main = {k: merged_new[k] for k in params_main}
             params_bert = {k: merged_new[k] for k in params_bert}
 
-            new_bank = new_bank.write(offset, labels, F_F, T_F, A_F, V_F)
+            # the bank write is guarded too: NaN features written into
+            # the bank would poison every future kNN sample — exactly
+            # the contamination the flag exists to contain
+            written = new_bank.write(offset, labels, F_F, T_F, A_F, V_F)
+            if cfg.skip_nonfinite_updates:
+                feats_ok = ok & _all_finite((F_F, T_F, A_F, V_F, labels))
+                new_bank = _select_tree(feats_ok, written, new_bank)
+            else:
+                new_bank = written
             return (params_main, params_bert, opt_state, loss, mis, out,
                     new_bank)
 
@@ -310,10 +328,9 @@ class StepFactory:
                 updates, new_opt_state = opt_vmi.update(grads, opt_state,
                                                         p_vmi)
                 new_p = optax.apply_updates(p_vmi, updates)
-                if cfg.skip_nonfinite_updates:
-                    ok = jnp.isfinite(loss) & _all_finite(grads)
-                    new_p = _select_tree(ok, new_p, p_vmi)
-                    new_opt_state = _select_tree(ok, new_opt_state, opt_state)
+                new_p, new_opt_state, _ = _guarded_update(
+                    cfg.skip_nonfinite_updates, loss, grads, new_p, p_vmi,
+                    new_opt_state, opt_state)
                 return (new_p, new_opt_state), loss
 
             # n_passes sweeps over the cached features (--fast_stage1
@@ -390,10 +407,9 @@ class StepFactory:
             updates, new_opt_state = opt_vmi.update(grads, opt_state,
                                                     params_vmi)
             new_params = optax.apply_updates(params_vmi, updates)
-            if cfg.skip_nonfinite_updates:
-                ok = jnp.isfinite(loss) & _all_finite(grads)
-                new_params = _select_tree(ok, new_params, params_vmi)
-                new_opt_state = _select_tree(ok, new_opt_state, opt_state)
+            new_params, new_opt_state, _ = _guarded_update(
+                cfg.skip_nonfinite_updates, loss, grads, new_params,
+                params_vmi, new_opt_state, opt_state)
             return new_params, new_opt_state, loss, jnp.stack(mis)
 
         # ---------------- gradient debug (--check_gradient) ---------------- #

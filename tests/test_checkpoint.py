@@ -96,6 +96,33 @@ def test_orbax_backend_roundtrip(tmp_path):
     assert np.allclose(np.asarray(u1["w"]), np.asarray(u2["w"]))
 
 
+def test_newest_format_wins_on_restore(tmp_path):
+    """If a run switched --ckpt_backend mid-life both formats coexist;
+    restore() must load the most recently written snapshot, not blindly
+    prefer msgpack."""
+    import os
+    import time as _time
+
+    template = {"x": jnp.zeros(2)}
+    # older msgpack...
+    CheckpointManager(str(tmp_path)).save("latest", {"x": jnp.ones(2)})
+    _time.sleep(0.05)
+    # ...then a newer orbax snapshot
+    mgr_o = CheckpointManager(str(tmp_path), backend="orbax")
+    mgr_o.save("latest", {"x": jnp.full(2, 7.0)})
+    mgr_o.wait_until_finished()
+    os.utime(str(tmp_path / "latest_model.msgpack"),
+             (0, os.path.getmtime(str(tmp_path / "latest_model.orbax")) - 10))
+    restored = CheckpointManager(str(tmp_path)).restore("latest", template)
+    assert np.allclose(np.asarray(restored["x"]), 7.0)
+
+    # and the reverse: newer msgpack wins
+    _time.sleep(0.05)
+    CheckpointManager(str(tmp_path)).save("latest", {"x": jnp.full(2, 3.0)})
+    restored = CheckpointManager(str(tmp_path)).restore("latest", template)
+    assert np.allclose(np.asarray(restored["x"]), 3.0)
+
+
 def test_bank_write_and_valid_mask():
     bank = FeatureBank.create(10, 7, 3)
     assert np.asarray(bank.valid).sum() == 7

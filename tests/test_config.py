@@ -75,6 +75,12 @@ def test_invalid_values_rejected():
         MimrlConfig(bound_type="kl_divergence")
     with pytest.raises(AssertionError):
         MimrlConfig(loss_mi_coefficient1=[0.1] * 10)
+    # seq_shard and pipeline parallelism are mutually exclusive (the
+    # pipelined path bypasses the constrained layer stack)
+    with pytest.raises(AssertionError, match="mutually exclusive"):
+        MimrlConfig(seq_shard=True, mesh_pipe=2)
+    with pytest.raises(AssertionError, match="moe_topk"):
+        MimrlConfig(moe_experts=2, moe_topk=4)
 
 
 def test_sam_accepted_by_parser():

@@ -76,17 +76,22 @@ def test_skip_nonfinite_updates_guards_params():
         oms = opt_main.init(merge_params(p_main, p_bert))
         steps = StepFactory(model, c, opt_main, opt_vmi)
         new_bank = FeatureBank.create(2 * bs, 2 * bs, d_common)
-        (p_main2, p_bert2, _, loss, _, _, _) = steps.train_step(
+        (p_main2, p_bert2, _, loss, _, _, new_bank) = steps.train_step(
             p_main, p_bert, p_vmi, oms, batch, nan_labels, bank, new_bank,
             0, rng, use_mi=False)
-        return jax.device_get(merge_params(p_main2, p_bert2))
+        return jax.device_get(merge_params(p_main2, p_bert2)), new_bank
 
     before = jax.device_get(params)
-    guarded = run(True)
+    guarded, bank_g = run(True)
     for path, leaf in jax.tree_util.tree_leaves_with_path(guarded):
         np.testing.assert_array_equal(leaf, _lookup(before, path),
                                       err_msg=jax.tree_util.keystr(path))
-    unguarded = run(False)
+    # the feature-bank write is guarded too: the NaN labels must NOT
+    # reach bank.C (a poisoned bank would NaN every future kNN sample)
+    assert np.isfinite(np.asarray(bank_g.C)).all()
+    assert np.asarray(bank_g.C).sum() == 0.0
+    unguarded, bank_u = run(False)
+    assert not np.isfinite(np.asarray(bank_u.C)).all()
     changed = any(
         not np.array_equal(leaf, _lookup(before, path))
         for path, leaf in jax.tree_util.tree_leaves_with_path(unguarded))
