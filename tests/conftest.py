@@ -25,13 +25,10 @@ _xb._backend_factories.pop("axon", None)
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 
-# Persistent compilation cache: the suite's wall-clock is dominated by
-# re-compiling identical tiny programs on every run (single-core box).
-# Keyed by HLO hash, so edits that change a computation still recompile.
-jax.config.update("jax_compilation_cache_dir",
-                  os.environ.get("JAX_TEST_CACHE_DIR",
-                                 "/tmp/jax_test_compile_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# NOTE: do NOT enable jax_compilation_cache_dir here. Reloading
+# persisted CPU-backend executables hard-crashes the interpreter
+# ("Fatal Python error" in the first jitted solver step) on this
+# jax build — the suite must recompile each run.
 
 assert jax.devices()[0].platform == "cpu"
 assert len(jax.devices()) == 8
