@@ -56,6 +56,32 @@ class CheckpointManager:
                 ocp.StandardCheckpointHandler())
         return self._orbax
 
+    def _meta_path(self, slot: str) -> str:
+        return os.path.join(self.task_path, f"{slot}_model.meta.json")
+
+    def _write_meta(self, slot: str) -> None:
+        """Sidecar marker: records which backend wrote last, with a
+        monotonic counter — mtime comparisons break when checkpoints are
+        copied/rsynced without timestamp preservation."""
+        counter = 0
+        meta = self._read_meta(slot)
+        if meta:
+            counter = int(meta.get("counter", 0))
+        tmp = self._meta_path(slot) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"backend": self.backend, "counter": counter + 1}, f)
+        os.replace(tmp, self._meta_path(slot))
+
+    def _read_meta(self, slot: str) -> Optional[dict]:
+        p = self._meta_path(slot)
+        if not os.path.exists(p):
+            return None
+        try:
+            with open(p) as f:
+                return json.load(f)
+        except (OSError, json.JSONDecodeError):
+            return None
+
     def save(self, slot: str, state: Any) -> None:
         if self.backend == "orbax":
             import orbax.checkpoint as ocp
@@ -63,25 +89,33 @@ class CheckpointManager:
             self._orbax_ckptr().save(
                 self._orbax_path(slot), args=ocp.args.StandardSave(state),
                 force=True)
+            self._write_meta(slot)
             return
         data = serialization.to_bytes(state)
         tmp = self._path(slot) + ".tmp"
         with open(tmp, "wb") as f:
             f.write(data)
         os.replace(tmp, self._path(slot))
+        self._write_meta(slot)
 
     def restore(self, slot: str, template: Any) -> Optional[Any]:
         """Restore into the structure of `template`; None if absent.
         The on-disk format is auto-detected (msgpack file vs orbax dir);
         when BOTH exist (a run switched --ckpt_backend mid-life without
         cleaning up), the most recently written one wins — otherwise a
-        stale old-format snapshot would silently shadow newer state."""
+        stale old-format snapshot would silently shadow newer state.
+        'Most recent' comes from the sidecar meta marker when present
+        (robust to copied/rsynced trees), mtime otherwise."""
         path = self._path(slot)
         opath = self._orbax_path(slot)
         has_msgpack = os.path.exists(path)
         has_orbax = os.path.isdir(opath)
         if has_msgpack and has_orbax:
-            has_msgpack = os.path.getmtime(path) >= os.path.getmtime(opath)
+            meta = self._read_meta(slot)
+            if meta and meta.get("backend") in ("msgpack", "orbax"):
+                has_msgpack = meta["backend"] == "msgpack"
+            else:
+                has_msgpack = os.path.getmtime(path) >= os.path.getmtime(opath)
             has_orbax = not has_msgpack
         if has_msgpack:
             with open(path, "rb") as f:

@@ -18,12 +18,17 @@ from typing import Optional
 
 def set_logger(log_path: str) -> None:
     """Attach file+stream handlers for this run. Idempotent per path and
-    robust to foreign root handlers (pytest, absl): our handlers are
-    tagged and replaced instead of the reference's bare
-    `if not logger.handlers` check (ref: Utils.py:52-63), which silently
-    skips the file handler when anything else configured logging first."""
-    logger = logging.getLogger()
+    robust to foreign handlers (pytest, absl): our handlers are tagged
+    and replaced instead of the reference's bare `if not logger.handlers`
+    check (ref: Utils.py:52-63), which silently skips the file handler
+    when anything else configured logging first.
+
+    Uses the dedicated 'mimrl' logger, NOT the root logger: a DEBUG root
+    logger pulls every jax/XLA debug message into Running.log (hundreds
+    of lines per compile) and burns host time formatting them."""
+    logger = logging.getLogger("mimrl")
     logger.setLevel(logging.DEBUG)
+    logger.propagate = False  # keep run logs out of foreign root handlers
     # third-party atexit debug logs (jax backend teardown) may fire after
     # the run dir is gone; don't let a closed file handler raise
     logging.raiseExceptions = False
@@ -43,7 +48,7 @@ def set_logger(log_path: str) -> None:
 
 
 def log_message(message: str) -> None:
-    logging.log(msg=message, level=logging.DEBUG)
+    logging.getLogger("mimrl").log(msg=message, level=logging.DEBUG)
 
 
 class ScalarWriter:

@@ -177,4 +177,15 @@ def build_tokenizer(vocab_path: Optional[str] = None,
                     vocab_size: int = 30522) -> WordPieceTokenizer:
     if vocab_path:
         return WordPieceTokenizer.from_vocab_file(vocab_path)
+    # Loud by design: training real text through hash-bucket ids with a
+    # randomly initialized BERT silently destroys accuracy — fine for
+    # hermetic tests/synthetic data, a footgun on real data. The parity
+    # harness (mimrl_tpu/tools/parity.py) refuses outright.
+    import logging
+
+    logging.getLogger("mimrl").warning(
+        "No --bert_vocab supplied: using the deterministic HASH-BUCKET "
+        "vocabulary (md5 word ids, no pretrained alignment). This is "
+        "intended for hermetic tests/synthetic data only — real-data "
+        "runs should pass --bert_vocab (and --bert_weights).")
     return WordPieceTokenizer.hash_fallback(vocab_size=vocab_size)

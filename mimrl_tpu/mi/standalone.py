@@ -252,11 +252,12 @@ def run_sweep(bound_types=None, rhos=(0.3, 0.6, 0.9), dim=5, n=2048,
               baseline_type="constant", estimation="max", plot_dir=None,
               batch_size=256, lr=2e-3, weight_decay=0.9):
     """Estimate MI for correlated Gaussians across bounds x correlations
-    and report against the analytic truth — the executable calibration
-    sweep the reference ships as VMI.py's __main__ (VMI.py:409-461).
-    Defaults match the settings the test suite validates recovery at
-    (tests/test_bounds.py::test_gaussian_mi_recovery).
-    Returns {bound: [(rho, true_mi, estimate), ...]}."""
+    and report against the analytic truth — the calibration sweep the
+    reference sketches in (dead, immediately-exiting) __main__ code
+    (VMI.py:409-461). Defaults match the settings the test suite
+    validates recovery at (tests/test_bounds.py::test_gaussian_mi_recovery
+    uses estimation="max", as here; the CLI below exposes the same
+    default). Returns {bound: [(rho, true_mi, estimate), ...]}."""
     bound_types = bound_types or [
         "dv", "mine", "tuba", "nwj", "infonce", "js", "js_fgan", "smile"]
     key = jax.random.PRNGKey(seed)
@@ -303,7 +304,7 @@ if __name__ == "__main__":
     ap.add_argument("--epochs", type=int, default=60)
     ap.add_argument("--critic_type", default="separate")
     ap.add_argument("--baseline_type", default="constant")
-    ap.add_argument("--estimation", default="mean",
+    ap.add_argument("--estimation", default="max",
                     choices=["max", "mean", "smooth"])
     ap.add_argument("--plot_dir", default=None)
     ap.add_argument("--seed", type=int, default=0)

@@ -134,12 +134,15 @@ class _MoEBlock(nn.Module):
         hidden = d * 2
         h = nn.LayerNorm(name="ln")(x)  # [bs, S, d]
 
-        # router (float32 softmax for stability)
+        # router (float32 softmax for stability). Gating masks from the
+        # top_k *indices* (one-hot), not a >=threshold compare: ties and
+        # the exactly-uniform logits of padded/zero tokens would activate
+        # more than top_k experts under a threshold rule.
         logits = nn.Dense(E, use_bias=False, name="router")(h)
         probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
-        top_vals, _ = jax.lax.top_k(probs, self.top_k)
-        thresh = top_vals[..., -1:]
-        gates = jnp.where(probs >= thresh, probs, 0.0)
+        _, top_idx = jax.lax.top_k(probs, self.top_k)
+        sel = jnp.sum(jax.nn.one_hot(top_idx, E, dtype=probs.dtype), axis=-2)
+        gates = probs * sel
         gates = gates / (jnp.sum(gates, axis=-1, keepdims=True) + 1e-9)
 
         w1 = self.param("w1", nn.initializers.lecun_normal(), (E, d, hidden))

@@ -9,11 +9,14 @@ costs speed, never functionality.
 from __future__ import annotations
 
 import ctypes
+import logging
 import os
 import subprocess
 from typing import Optional
 
 import numpy as np
+
+_log = logging.getLogger("mimrl")
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "collate.cpp")
@@ -47,10 +50,15 @@ def load() -> Optional[ctypes.CDLL]:
         os.path.getmtime(_LIB_PATH) < os.path.getmtime(_SRC)
     ):
         if not _build():
+            _log.warning(
+                "native collation library build failed (g++ %s); "
+                "falling back to the pure-Python host pipeline", _SRC)
             return None
     try:
         lib = ctypes.CDLL(_LIB_PATH)
-    except OSError:
+    except OSError as e:
+        _log.warning("native collation library failed to load (%s); "
+                     "falling back to the pure-Python host pipeline", e)
         return None
 
     lib.pad_stack_f32.argtypes = [

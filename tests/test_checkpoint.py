@@ -123,6 +123,29 @@ def test_newest_format_wins_on_restore(tmp_path):
     assert np.allclose(np.asarray(restored["x"]), 3.0)
 
 
+def test_sidecar_meta_beats_corrupted_mtimes(tmp_path):
+    """The last-written-backend decision comes from the sidecar meta
+    marker, so checkpoints copied/rsynced without mtime preservation
+    still restore the correct format (mtimes alone would lie here)."""
+    import os
+
+    template = {"x": jnp.zeros(2)}
+    CheckpointManager(str(tmp_path)).save("latest", {"x": jnp.ones(2)})
+    mgr_o = CheckpointManager(str(tmp_path), backend="orbax")
+    mgr_o.save("latest", {"x": jnp.full(2, 7.0)})
+    mgr_o.wait_until_finished()
+    # simulate an rsync that reset mtimes: msgpack now looks NEWER
+    now = os.path.getmtime(str(tmp_path / "latest_model.orbax"))
+    os.utime(str(tmp_path / "latest_model.msgpack"), (now + 100, now + 100))
+    restored = CheckpointManager(str(tmp_path)).restore("latest", template)
+    assert np.allclose(np.asarray(restored["x"]), 7.0)
+    # marker file exists and names orbax as the last writer
+    import json
+
+    meta = json.load(open(tmp_path / "latest_model.meta.json"))
+    assert meta["backend"] == "orbax" and meta["counter"] == 2
+
+
 def test_bank_write_and_valid_mask():
     bank = FeatureBank.create(10, 7, 3)
     assert np.asarray(bank.valid).sum() == 7

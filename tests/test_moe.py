@@ -27,21 +27,34 @@ def test_moe_fusion_shape_preserving():
 
 
 def test_moe_block_gates_topk():
-    """Router gates: exactly <= top_k experts active per token, gates sum
-    to 1 over the active set."""
+    """Router gates: EXACTLY top_k experts active per token (one-hot from
+    top_k indices, not a >=threshold compare), gates sum to 1 over the
+    active set — including for exactly-uniform router probabilities
+    (LayerNorm of an all-zero token gives zero logits), where a
+    threshold rule would activate every expert."""
     x = _x(T=2, K=3, d=16).reshape(4, 6, 16)
     block = _MoEBlock(d_model=16, num_experts=4, top_k=2, dropout=0.0)
     params = block.init(jax.random.PRNGKey(0), x)
 
+    def gates_of(probs, k=2, E=4):
+        _, top_idx = jax.lax.top_k(probs, k)
+        sel = jnp.sum(jax.nn.one_hot(top_idx, E, dtype=probs.dtype), axis=-2)
+        g = probs * sel
+        return g / (g.sum(-1, keepdims=True) + 1e-9)
+
     h = jax.nn.standardize(x, axis=-1)  # proxy: gate support is what matters
     logits = h @ params["params"]["router"]["kernel"]
     probs = jax.nn.softmax(logits, axis=-1)
-    top_vals, _ = jax.lax.top_k(probs, 2)
-    gates = jnp.where(probs >= top_vals[..., -1:], probs, 0.0)
+    gates = gates_of(probs)
     active = np.asarray((gates > 0).sum(-1))
-    assert (active <= 2).all() and (active >= 1).all()
-    norm = gates / (gates.sum(-1, keepdims=True) + 1e-9)
-    np.testing.assert_allclose(np.asarray(norm.sum(-1)), 1.0, atol=1e-5)
+    assert (active == 2).all()
+    np.testing.assert_allclose(np.asarray(gates.sum(-1)), 1.0, atol=1e-5)
+
+    # uniform probabilities (all-zero/padded tokens): still exactly top_k
+    uniform = jnp.full((4, 6, 4), 0.25)
+    g_uni = gates_of(uniform)
+    assert (np.asarray((g_uni > 0).sum(-1)) == 2).all()
+    np.testing.assert_allclose(np.asarray(g_uni.sum(-1)), 1.0, atol=1e-5)
 
 
 def test_moe_grads_finite_and_router_trained():
