@@ -92,16 +92,38 @@ class MimrlConfig:
     # --- TPU-native extensions (new in mimrl_tpu) ---
     mesh_data: int = -1  # -1 = all visible devices on the data axis
     mesh_model: int = 1  # tensor-parallel axis size
+    # multi-slice data parallelism: leading mesh axis mapped to the slice
+    # boundary — batch shards over dcn x data, params replicate per
+    # slice, so only the gradient all-reduce crosses the data-center
+    # network (pipe/model traffic stays on intra-slice ICI). 1 = off.
+    mesh_dcn: int = 1
     # pipeline parallelism: split the BERT stack into this many stages on
     # a dedicated mesh axis (parallel/pipeline.py); 1 = off
     mesh_pipe: int = 1
     pipe_microbatches: int = 4
+    # interleaved pipeline schedule (Megatron interleaved-1F1B layer
+    # assignment): each device holds this many non-contiguous layer
+    # chunks and microbatches traverse the ring that many times; the
+    # pipeline bubble shrinks ~v-fold at equal microbatches. Needs
+    # bert_layers % (mesh_pipe * pipe_virtual) == 0 and
+    # pipe_microbatches >= mesh_pipe. 1 = plain GPipe.
+    pipe_virtual: int = 1
+    # rematerialize each pipeline chunk in the backward: activations
+    # stored by the forward shrink to chunk INPUTS only (~8x less than
+    # storing every per-layer intermediate), for ~1/3 more FLOPs
+    pipe_remat: bool = False
     # Megatron-style sequence parallelism: shard the [bs, T, H] BERT
     # activations' time axis over the `model` axis between layers (GSPMD
     # inserts the gather/scatter collectives); only meaningful with
     # mesh_model > 1, and mutually exclusive with mesh_pipe > 1
     seq_shard: bool = False
     compute_dtype: str = "float32"  # float32 | bfloat16 (matmul inputs)
+    # int8 quantized BERT dense GEMMs (ops/quant.py): none | int8_fwd
+    # (forward only) | int8 (+ int8 weight grads, recommended) | int8_all
+    # (+ int8 activation grads, fastest). TPU MXUs run s8xs8->s32 at 2x
+    # the bf16 rate; the training step is BERT-GEMM-bound, so this is
+    # the main single-chip throughput lever past the bf16 roofline.
+    quant: str = "none"
     use_pallas: bool = False  # fused Pallas CubeMLP kernel
     data_dir: Optional[str] = None  # overrides dataset root paths
     bert_vocab: Optional[str] = None  # path to a WordPiece vocab.txt
@@ -173,6 +195,7 @@ class MimrlConfig:
         check(self.cmi_last_acticate, "cmi_last_acticate",
               ("hardtanh", "sigmoid"))
         check(self.rng_impl, "rng_impl", ("rbg", "threefry"))
+        check(self.quant, "quant", ("none", "int8_fwd", "int8", "int8_all"))
         check(self.ckpt_backend, "ckpt_backend", ("msgpack", "orbax"))
         assert not (self.seq_shard and self.mesh_pipe > 1), (
             "--seq_shard and --mesh_pipe are mutually exclusive: the "
@@ -292,11 +315,16 @@ def build_arg_parser() -> argparse.ArgumentParser:
     # TPU-native extensions
     p.add_argument("--mesh_data", default=d.mesh_data, type=int)
     p.add_argument("--mesh_model", default=d.mesh_model, type=int)
+    p.add_argument("--mesh_dcn", default=d.mesh_dcn, type=int)
     p.add_argument("--mesh_pipe", default=d.mesh_pipe, type=int)
     p.add_argument("--pipe_microbatches", default=d.pipe_microbatches,
                    type=int)
+    p.add_argument("--pipe_virtual", default=d.pipe_virtual, type=int)
+    p.add_argument("--pipe_remat", action="store_true")
     p.add_argument("--seq_shard", action="store_true")
     p.add_argument("--compute_dtype", default=d.compute_dtype, type=str)
+    p.add_argument("--quant", default=d.quant, type=str,
+                   choices=["none", "int8_fwd", "int8", "int8_all"])
     p.add_argument("--use_pallas", action="store_true")
     p.add_argument("--data_dir", default=None, type=str)
     p.add_argument("--bert_vocab", default=None, type=str)

