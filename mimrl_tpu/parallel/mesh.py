@@ -21,38 +21,54 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+DCN_AXIS = "dcn"
 DATA_AXIS = "data"
 PIPE_AXIS = "pipe"
 MODEL_AXIS = "model"
 
 
 def make_mesh(data: int = -1, model: int = 1, pipe: int = 1,
-              devices=None) -> Mesh:
-    """Build a (data, pipe, model) mesh. ``data=-1`` uses all remaining
-    devices. `pipe` is the pipeline-stage axis (parallel/pipeline.py);
-    with the default ``pipe=1`` the mesh degenerates to (data, model).
-    Axis order puts `model` innermost so tensor-parallel collectives ride
-    the fastest ICI links."""
+              dcn: int = 1, devices=None) -> Mesh:
+    """Build a (dcn, data, pipe, model) mesh. ``data=-1`` uses all
+    remaining devices. `pipe` is the pipeline-stage axis
+    (parallel/pipeline.py); with the defaults the mesh degenerates to
+    (data, model). Axis order puts `model` innermost so tensor-parallel
+    collectives ride the fastest ICI links, and `dcn` OUTERMOST: on a
+    multi-slice pod the leading axis maps to the slice boundary, so only
+    the `dcn` collectives (the batch gradient all-reduce) cross the
+    data-center network while pipe/model traffic stays on intra-slice
+    ICI. Parameters are replicated across `dcn` (pure data parallelism
+    between slices); the batch shards over dcn x data jointly."""
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     if model <= 0:
         model = 1
     if pipe <= 0:
         pipe = 1
+    if dcn <= 0:
+        dcn = 1
     if data <= 0:
-        data = n // (model * pipe)
-    assert data * model * pipe <= n, (
-        f"mesh {data}x{pipe}x{model} needs {data * model * pipe} devices, "
-        f"have {n}"
+        data = n // (model * pipe * dcn)
+    assert data * model * pipe * dcn <= n, (
+        f"mesh {dcn}x{data}x{pipe}x{model} needs "
+        f"{data * model * pipe * dcn} devices, have {n}"
     )
-    dev_array = np.asarray(devices[: data * model * pipe]).reshape(
-        data, pipe, model)
-    return Mesh(dev_array, (DATA_AXIS, PIPE_AXIS, MODEL_AXIS))
+    dev_array = np.asarray(devices[: dcn * data * model * pipe]).reshape(
+        dcn, data, pipe, model)
+    return Mesh(dev_array, (DCN_AXIS, DATA_AXIS, PIPE_AXIS, MODEL_AXIS))
+
+
+def batch_axes(mesh: Mesh):
+    """The mesh axes the batch dimension shards over: (dcn, data) on a
+    multi-slice mesh, plain 'data' otherwise."""
+    if DCN_AXIS in mesh.shape and mesh.shape[DCN_AXIS] > 1:
+        return (DCN_AXIS, DATA_AXIS)
+    return DATA_AXIS
 
 
 def data_sharding(mesh: Mesh) -> NamedSharding:
-    """Shard the leading (batch) axis over the data axis."""
-    return NamedSharding(mesh, P(DATA_AXIS))
+    """Shard the leading (batch) axis over the data (x dcn) axes."""
+    return NamedSharding(mesh, P(batch_axes(mesh)))
 
 
 def replicated_sharding(mesh: Mesh) -> NamedSharding:
@@ -61,13 +77,16 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 def shard_batch(mesh: Mesh, batch):
     """Place every array leaf of a batch pytree with its batch axis sharded
-    over `data` (leaves whose leading dim is not divisible are replicated)."""
+    over `data` (x `dcn` on multi-slice meshes); leaves whose leading dim
+    is not divisible are replicated."""
     ds = data_sharding(mesh)
     rs = replicated_sharding(mesh)
-    n_data = mesh.shape[DATA_AXIS]
+    axes = batch_axes(mesh)
+    axes = axes if isinstance(axes, tuple) else (axes,)
+    n_batch = int(np.prod([mesh.shape[a] for a in axes]))
 
     def place(x):
-        if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] % n_data == 0:
+        if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] % n_batch == 0:
             return jax.device_put(x, ds)
         return jax.device_put(x, rs)
 

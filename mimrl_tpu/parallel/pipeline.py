@@ -1,26 +1,46 @@
-"""Pipeline parallelism for the BERT text tower (GPipe schedule).
+"""Pipeline parallelism for the BERT text tower (GPipe + interleaved
+schedules).
 
 The reference has no pipeline parallelism at all (its only distribution
 is single-process DataParallel, ref: Solver.py:33-36); this module is a
-TPU-native capability addition: the 12-layer BERT stack is split into
-`pipe` contiguous stages laid out on a dedicated mesh axis, microbatches
-stream through the stages, and activations hop stage-to-stage over ICI
-with `lax.ppermute`. Everything is one `shard_map`-ed XLA program, fully
-differentiable (the transpose of the forward pipeline is the reverse
-pipeline XLA derives automatically), and composes with data parallelism:
-the batch stays sharded on the `data` axis inside the pipeline.
+TPU-native capability addition: the 12-layer BERT stack is split across
+`pipe` mesh devices, microbatches stream through the stages, and
+activations hop stage-to-stage over ICI with `lax.ppermute`. Everything
+is one `shard_map`-ed XLA program, fully differentiable (the transpose
+of the forward pipeline is the reverse pipeline XLA derives
+automatically), and composes with data parallelism: the batch stays
+sharded on the `data` axis inside the pipeline.
 
-Schedule: plain GPipe. With S stages and M microbatches the program runs
-M + S - 1 ticks; stage s processes microbatch (t - s) at tick t. The
-bubble fraction is (S-1)/(M+S-1) — callers pick M >= 4*S to keep it
-small. Stage weights are *sharded* over the pipe axis (each device holds
-layers [s*L/S, (s+1)*L/S)), which is the point of pipeline parallelism:
-an 8-stage mesh holds 1/8 of the BERT weights per device.
+Schedules:
+
+- ``n_virtual=1`` (GPipe): device s holds layers [s*L/S, (s+1)*L/S).
+  With S stages and M microbatches the program runs M + S - 1 ticks;
+  bubble fraction (S-1)/(M+S-1).
+- ``n_virtual=v>1`` (interleaved, the Megatron interleaved-1F1B layer
+  assignment): device s holds v NON-contiguous chunks {s, S+s, ...,
+  (v-1)S+s} of L/(S*v) layers each, and each microbatch traverses the
+  device ring v times. The program runs v*M + S - 1 ticks of 1/v-sized
+  work units, so the bubble SHRINKS from (S-1) ticks of L/S-layer work
+  to (S-1) ticks of L/(S*v)-layer work — the idle fraction drops ~v-fold
+  at equal microbatch count. Requires M >= S (ring-wraparound inputs
+  must arrive before they are consumed) and L % (S*v) == 0.
+
+  Note on "1F1B" here: Megatron's schedule interleaves per-microbatch
+  backwards between forwards, which needs per-microbatch cotangents. In
+  this model the downstream fusion/critic stages consume the WHOLE batch
+  jointly (the [bs, bs] score matrices), so every microbatch's cotangent
+  arrives at once and the backward is necessarily a full reverse
+  pipeline — which XLA derives automatically, with the same interleaved
+  layer placement and therefore the same v-fold bubble reduction. The
+  activation-memory lever is ``remat=True`` instead: each chunk is
+  rematerialized in the backward, so the forward stores only chunk
+  INPUTS ([mb, T, H] per in-flight unit) rather than every intermediate
+  of every layer (~8x more: QKV/scores/probs/ctx/FFN-hidden per layer).
 
 Layout contract with the rest of the framework:
 - parameters stay in the standard flax tree (`layer_0..layer_{L-1}`);
-  stacking to [S, L/S, ...] happens inside the jitted step, so the
-  optimizer, checkpoints, freeze masks, and HF weight import are
+  stacking to [v, S, L/(S*v), ...] happens inside the jitted step, so
+  the optimizer, checkpoints, freeze masks, and HF weight import are
   untouched.
 - `bert_forward_pipelined` is a drop-in replacement for
   `BertModel.__call__` (same [bs, T, H] float32 output); the model
@@ -41,12 +61,13 @@ from mimrl_tpu.parallel.mesh import DATA_AXIS, PIPE_AXIS
 Array = jax.Array
 
 
-def stack_layer_params(bert_params, n_layers: int, n_stages: int):
-    """[per-layer trees] -> one tree with leaves [S, L/S, ...]."""
+def stack_layer_params(bert_params, n_layers: int, n_chunks: int):
+    """[per-layer trees] -> one tree with leaves [n_chunks, L/n_chunks, ...].
+    Chunk c holds contiguous layers [c*L/C, (c+1)*L/C)."""
     per_layer = [bert_params[f"layer_{i}"] for i in range(n_layers)]
     stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *per_layer)
     return jax.tree.map(
-        lambda x: x.reshape(n_stages, n_layers // n_stages, *x.shape[1:]),
+        lambda x: x.reshape(n_chunks, n_layers // n_chunks, *x.shape[1:]),
         stacked)
 
 
@@ -59,26 +80,36 @@ def bert_forward_pipelined(
     attention_mask: Array,
     *,
     n_microbatches: int,
+    n_virtual: int = 1,
+    remat: bool = False,
     deterministic: bool = True,
     rng: Optional[Array] = None,
 ) -> Array:
     """Pipelined BERT forward: returns last_hidden_state [bs, T, H] f32.
 
-    Requires `config.num_hidden_layers % mesh.shape['pipe'] == 0` and the
-    per-data-shard batch divisible by `n_microbatches`.
+    Requires `config.num_hidden_layers % (pipe * n_virtual) == 0`, the
+    per-data-shard batch divisible by `n_microbatches`, and (for
+    n_virtual > 1) `n_microbatches >= pipe`.
     """
     S = mesh.shape[PIPE_AXIS]
     n_data = mesh.shape[DATA_AXIS]
     L = config.num_hidden_layers
     M = n_microbatches
+    v = max(n_virtual, 1)
     bs, T = input_ids.shape
     H = config.hidden_size
-    if L % S != 0:
-        raise ValueError(f"bert_layers={L} not divisible by pipe={S}")
+    if L % (S * v) != 0:
+        raise ValueError(
+            f"bert_layers={L} not divisible by pipe*virtual={S}*{v}")
     if bs % (M * n_data) != 0:
         raise ValueError(
             f"batch_size={bs} must be divisible by "
             f"pipe_microbatches*mesh_data={M}*{n_data}")
+    if v > 1 and M < S:
+        raise ValueError(
+            f"interleaved schedule needs pipe_microbatches>={S} "
+            f"(got {M}): ring-wraparound activations must arrive "
+            f"before they are consumed")
 
     if rng is None:
         rng = jax.random.PRNGKey(0)
@@ -93,46 +124,72 @@ def bert_forward_pipelined(
     # sharded over `data` inside the shard_map (in_specs below)
     emb_m = emb.reshape(M, bs // M, T, H)
     bias_m = bias.reshape(M, bs // M, 1, 1, T)
-    stacked = stack_layer_params(bert_params, L, S)
+    # chunk c = r*S + d -> (round r, device d): leaves [v, S, L/(S*v), ...]
+    stacked = stack_layer_params(bert_params, L, S * v)
+    stacked = jax.tree.map(
+        lambda x: x.reshape(v, S, *x.shape[1:]), stacked)
     layer = BertLayer(config)
+    n_layers_chunk = L // (S * v)
 
-    def stage_fn(stage_params, x, b, key):
-        # applies this stage's L/S contiguous layers
-        for j in range(L // S):
-            p_j = jax.tree.map(lambda a: a[j], stage_params)
+    def chunk_fn(chunk_params, x, b, key):
+        # applies one chunk's contiguous layers
+        for j in range(n_layers_chunk):
+            p_j = jax.tree.map(lambda a: a[j], chunk_params)
             x = layer.apply(
                 {"params": p_j}, x, b, deterministic,
                 rngs=None if deterministic
                 else {"dropout": jax.random.fold_in(key, j)})
         return x
 
-    def pipe_body(stage_params, inputs, biases, key):
-        # stage_params leaves [1, L/S, ...] (this device's stage);
+    if remat:
+        # store only chunk inputs; recompute layer internals in the bwd
+        chunk_fn = jax.checkpoint(chunk_fn)
+
+    def pipe_body(chunk_params, inputs, biases, key):
+        # chunk_params leaves [v, 1, L/(S*v), ...] (this device's chunks);
         # inputs [M, mb_local, T, H]; biases [M, mb_local, 1, 1, T]
-        stage_params = jax.tree.map(lambda a: a[0], stage_params)
+        chunk_params = jax.tree.map(lambda a: a[:, 0], chunk_params)
         idx = jax.lax.axis_index(PIPE_AXIS)
         key = jax.random.fold_in(
             jax.random.fold_in(key, idx), jax.lax.axis_index(DATA_AXIS))
         state = jnp.zeros_like(inputs[0])
+        # device 0's wraparound buffer: round-(r+1) inputs arrive from
+        # device S-1 up to M-S ticks before they are consumed
+        buf = jnp.zeros_like(inputs)
         outputs = jnp.zeros_like(inputs)
         perm = [(i, (i + 1) % S) for i in range(S)]
+        n_units = v * M
 
         def tick(carry, t):
-            state, outputs = carry
-            micro = jnp.clip(t - idx, 0, M - 1)
-            x = jnp.where(idx == 0, inputs[micro], state)
-            y = stage_fn(stage_params, x, biases[micro],
-                         jax.random.fold_in(key, t))
-            # the last stage emits microbatch t-(S-1) at tick t
-            out_idx = jnp.clip(t - (S - 1), 0, M - 1)
-            emit = (idx == S - 1) & (t >= S - 1)
-            outputs = jax.lax.dynamic_update_index_in_dim(
-                outputs, jnp.where(emit, y, outputs[out_idx]), out_idx, 0)
-            state = jax.lax.ppermute(y, PIPE_AXIS, perm)
-            return (state, outputs), None
+            state, buf, outputs = carry
+            # 1) wraparound receive (device 0): at the start of tick t,
+            # `state` holds device S-1's output of unit t-S — micro
+            # (t-S)%M finishing round (t-S)//M — i.e. that micro's input
+            # for the NEXT round. Bank it.
+            u_in = t - S
+            m_in = jnp.mod(jnp.clip(u_in, 0, n_units - 1), M)
+            bank = (idx == 0) & (u_in >= 0) & (u_in < n_units)
+            buf = jax.lax.dynamic_update_index_in_dim(
+                buf, jnp.where(bank, state, buf[m_in]), m_in, 0)
 
-        (_, outputs), _ = jax.lax.scan(
-            tick, (state, outputs), jnp.arange(M + S - 1))
+            # 2) this tick's work unit on this device
+            u = jnp.clip(t - idx, 0, n_units - 1)
+            m = jnp.mod(u, M)
+            r = u // M
+            x0 = jnp.where(r == 0, inputs[m], buf[m])
+            x = jnp.where(idx == 0, x0, state)
+            p_r = jax.tree.map(lambda a: a[r], chunk_params)
+            y = chunk_fn(p_r, x, biases[m], jax.random.fold_in(key, t))
+
+            # 3) the last device emits final-round microbatches
+            emit = (idx == S - 1) & (r == v - 1) & (t - idx == u)
+            outputs = jax.lax.dynamic_update_index_in_dim(
+                outputs, jnp.where(emit, y, outputs[m]), m, 0)
+            state = jax.lax.ppermute(y, PIPE_AXIS, perm)
+            return (state, buf, outputs), None
+
+        (_, _, outputs), _ = jax.lax.scan(
+            tick, (state, buf, outputs), jnp.arange(n_units + S - 1))
         # only the last stage holds real outputs; psum replicates them
         # across the pipe axis (zeros elsewhere keep the sum exact)
         outputs = jax.lax.psum(
@@ -143,7 +200,8 @@ def bert_forward_pipelined(
     out = jax.shard_map(
         pipe_body,
         mesh=mesh,
-        in_specs=(P(PIPE_AXIS), P(None, DATA_AXIS), P(None, DATA_AXIS), P()),
+        in_specs=(P(None, PIPE_AXIS), P(None, DATA_AXIS),
+                  P(None, DATA_AXIS), P()),
         out_specs=P(None, DATA_AXIS),
         check_vma=False,
     )(stacked, emb_m, bias_m, rng)

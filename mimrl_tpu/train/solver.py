@@ -70,6 +70,7 @@ class Solver:
             max_position_embeddings=max(512, opt.time_len),
             dtype=jnp.bfloat16 if opt.compute_dtype == "bfloat16"
             else jnp.float32,
+            quant=opt.quant,
         )
         self.model = MimrlModel(
             d_t=self.d_t, d_a=self.d_a, d_v=self.d_v, d_common=opt.d_common,
@@ -145,10 +146,20 @@ class Solver:
         # another axis is requested (pure pipeline/tensor parallelism).
         n_dev = len(jax.devices())
         wants_mesh = (opt.mesh_data != 1 or opt.mesh_model > 1
-                      or opt.mesh_pipe > 1)
+                      or opt.mesh_pipe > 1 or opt.mesh_dcn > 1)
+        if wants_mesh and n_dev <= 1:
+            log_message(
+                f"WARNING: --mesh_data/--mesh_model/--mesh_pipe requested "
+                f"but only {n_dev} device is visible — running unsharded.")
+        if opt.seq_shard and opt.mesh_model <= 1:
+            log_message("WARNING: --seq_shard requires --mesh_model > 1 — "
+                        "sequence parallelism is disabled.")
+        if opt.fusion == "moe" and opt.moe_experts > 1 and opt.mesh_model <= 1:
+            log_message("WARNING: --fusion moe with --mesh_model 1: experts "
+                        "run unsharded (no expert parallelism).")
         if wants_mesh and n_dev > 1:
             self.mesh = make_mesh(opt.mesh_data, opt.mesh_model,
-                                  opt.mesh_pipe)
+                                  opt.mesh_pipe, opt.mesh_dcn)
             from jax.sharding import NamedSharding, PartitionSpec as P
             from mimrl_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
 
@@ -172,10 +183,15 @@ class Solver:
         self.steps = StepFactory(self.model, opt, self.opt_main, self.opt_vmi,
                                  mesh=self.mesh)
 
-        # feature banks: capacity = one row per train-step sample
+        # feature banks: capacity = one row per train-step sample.
+        # --bank_dtype bfloat16 halves bank HBM + kNN distance-matmul
+        # traffic (the kNN top-k is rank-based, so bf16 distances only
+        # reorder genuine near-ties).
         self.n_bank = len(self.train_loader) * opt.batch_size
         n_valid = min(self.train_loader.num_samples, self.n_bank)
-        self.bank = FeatureBank.create(self.n_bank, n_valid, opt.d_common)
+        self.bank_dtype = jnp.dtype(opt.bank_dtype)
+        self.bank = FeatureBank.create(self.n_bank, n_valid, opt.d_common,
+                                       dtype=self.bank_dtype)
         self.have_bank = False  # epoch-0 semantics (ref: Customization.py:97)
 
         self.start_epoch = 0
@@ -259,7 +275,18 @@ class Solver:
     def _stack_epoch(self, loader):
         """Stack one epoch of batches into [NB, bs, ...] arrays for the
         epoch-scan programs (--epoch_scan). The whole epoch's inputs are
-        a few MB at these dataset sizes, so one transfer replaces NB."""
+        a few MB at these dataset sizes, so one transfer replaces NB.
+
+        Deterministic loaders (no shuffle, no per-epoch augmentation —
+        i.e. the valid/test splits) produce identical stacks every epoch,
+        so their device arrays are built once and cached: the host stack
+        + transfer drops out of the steady-state epoch entirely."""
+        cacheable = (not getattr(loader, "shuffle", True)
+                     and not getattr(loader, "avec_random_word", False))
+        if not hasattr(self, "_stack_cache"):
+            self._stack_cache = {}
+        if cacheable and id(loader) in self._stack_cache:
+            return self._stack_cache[id(loader)]
         if self.raw_text:
             fields = ("bert_sentences", "bert_sentence_types",
                       "bert_sentence_att_mask", "audio", "video",
@@ -282,20 +309,34 @@ class Solver:
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
-            from mimrl_tpu.parallel.mesh import DATA_AXIS
+            from mimrl_tpu.parallel.mesh import batch_axes
 
-            n_data = self.mesh.shape[DATA_AXIS]
+            axes = batch_axes(self.mesh)
+            axes_t = axes if isinstance(axes, tuple) else (axes,)
+            n_data = int(np.prod([self.mesh.shape[a] for a in axes_t]))
 
             def place(x):
                 if x.ndim >= 2 and x.shape[1] % n_data == 0:
-                    spec = P(None, DATA_AXIS)
+                    spec = P(None, axes)
                 else:
                     spec = P()
+                    if x.ndim >= 2 and not getattr(
+                            self, "_warned_replicated_epoch", False):
+                        # a quiet perf cliff otherwise: every device gets
+                        # the full epoch instead of a 1/n_data shard
+                        self._warned_replicated_epoch = True
+                        log_message(
+                            f"WARNING: --epoch_scan batch dim {x.shape[1]} "
+                            f"is not divisible by mesh data axis {n_data}; "
+                            f"replicating the epoch stack to all devices.")
                 return jax.device_put(x, NamedSharding(self.mesh, spec))
 
             batches = jax.tree_util.tree_map(place, batches)
             labels_stack = place(labels_stack)
-        return batches, labels_stack, labels_np, masks
+        result = (batches, labels_stack, labels_np, masks)
+        if cacheable:
+            self._stack_cache[id(loader)] = result
+        return result
 
     # ------------------------------------------------------------------ #
     def train(self, epoch: int):
@@ -358,7 +399,7 @@ class Solver:
         use_mi = self.have_bank
         new_bank = FeatureBank.create(
             self.n_bank, min(self.train_loader.num_samples, self.n_bank),
-            opt.d_common)
+            opt.d_common, dtype=self.bank_dtype)
         offset = 0
         step_losses, step_mis = [], []
         train_iter = (prefetch(iter(self.train_loader), 2)
@@ -397,27 +438,28 @@ class Solver:
         return (running_loss / n, running_loss_mi / n,
                 (mis_sum / n).tolist(), train_score)
 
-    def _train_epoch_scan(self, epoch: int):
-        """--epoch_scan: each stage is one dispatched XLA program."""
+    def _train_epoch_scan_dispatch(self, epoch: int):
+        """--epoch_scan: each stage is one dispatched XLA program.
+        Returns a finalize() closure: all device programs are enqueued
+        asynchronously here; host-side syncing + metric computation is
+        deferred so eval dispatches can be queued behind them first
+        (the device crunches eval while the host scores training)."""
         opt = self.opt
         batches, labels_stack, labels_np, masks = self._stack_epoch(
             self.train_loader)
-        t_stage1 = time.time()
-        running_loss_mi = 0.0
+        t_dispatch = time.time()
+        loss_mi = None
         if epoch > 0 and self.have_bank:
             (self.params_vmi, self.opt_vmi_state, loss_mi) = (
                 self.steps.critic_epoch(
                     self.params_main, self.params_bert, self.params_vmi,
                     self.opt_vmi_state, batches, labels_stack, self.bank,
                     self._next_rng(), n_passes=opt.stage1_n))
-            running_loss_mi = float(loss_mi)
-        t_stage2 = time.time()
-        log_message(f"  stage1: {t_stage2 - t_stage1:.2f}s")
 
         use_mi = self.have_bank
         new_bank = FeatureBank.create(
             self.n_bank, min(self.train_loader.num_samples, self.n_bank),
-            opt.d_common)
+            opt.d_common, dtype=self.bank_dtype)
         (self.params_main, self.params_bert, self.opt_main_state, losses,
          mis, outs, new_bank) = self.steps.train_epoch(
             self.params_main, self.params_bert, self.params_vmi,
@@ -425,43 +467,58 @@ class Solver:
             self._next_rng(), use_mi=use_mi)
         self.bank = new_bank
         self.have_bank = True
+        log_message(f"  train dispatch: {time.time() - t_dispatch:.2f}s")
 
-        n = len(self.train_loader)
-        running_loss = float(jnp.sum(losses))
-        mis_sum = np.asarray(jnp.sum(mis, axis=0))
-        log_message(f"  stage2: {time.time() - t_stage2:.2f}s")
-        outs_np = np.asarray(outs)
-        predictions = np.concatenate(
-            [outs_np[i][m] for i, m in enumerate(masks)])
-        targets = np.concatenate(
-            [t[m] for t, m in zip(labels_np, masks)])
-        train_score = get_score_from_result(
-            predictions, targets, opt.dataset, opt.task, opt.num_class)
-        return (running_loss / n, running_loss_mi / n,
-                (mis_sum / n).tolist(), train_score)
+        def finalize():
+            n = len(self.train_loader)
+            running_loss_mi = float(loss_mi) if loss_mi is not None else 0.0
+            running_loss = float(jnp.sum(losses))
+            mis_sum = np.asarray(jnp.sum(mis, axis=0))
+            outs_np = np.asarray(outs)
+            predictions = np.concatenate(
+                [outs_np[i][m] for i, m in enumerate(masks)])
+            targets = np.concatenate(
+                [t[m] for t, m in zip(labels_np, masks)])
+            train_score = get_score_from_result(
+                predictions, targets, opt.dataset, opt.task, opt.num_class)
+            return (running_loss / n, running_loss_mi / n,
+                    (mis_sum / n).tolist(), train_score)
 
-    def _evaluate_epoch_scan(self, loader):
+        return finalize
+
+    def _train_epoch_scan(self, epoch: int):
+        return self._train_epoch_scan_dispatch(epoch)()
+
+    def _evaluate_epoch_scan_dispatch(self, loader):
+        """Dispatch one eval epoch; host syncing deferred to finalize()."""
         opt = self.opt
         use_mi = self.have_bank
         batches, labels_stack, labels_np, masks = self._stack_epoch(loader)
         losses, mis, outs, feats = self.steps.eval_epoch(
             self.params_main, self.params_bert, self.params_vmi, batches,
             labels_stack, self.bank, self._next_rng(), use_mi=use_mi)
-        n = len(loader)
-        outs_np = np.asarray(outs)
-        predictions = np.concatenate(
-            [outs_np[i][m] for i, m in enumerate(masks)])
-        targets = np.concatenate([t[m] for t, m in zip(labels_np, masks)])
-        score = get_score_from_result(predictions, targets, opt.dataset,
-                                      opt.task, opt.num_class)
-        features = None
-        if opt.save_best_features:
-            feats_np = [np.asarray(f) for f in feats]  # each [NB, bs, d]
-            features = [[f[i][m] for f in feats_np]
-                        for i, m in enumerate(masks)]
-        return (float(jnp.sum(losses)) / n,
-                (np.asarray(jnp.sum(mis, axis=0)) / n).tolist(), score,
-                predictions, targets, features)
+
+        def finalize():
+            n = len(loader)
+            outs_np = np.asarray(outs)
+            predictions = np.concatenate(
+                [outs_np[i][m] for i, m in enumerate(masks)])
+            targets = np.concatenate([t[m] for t, m in zip(labels_np, masks)])
+            score = get_score_from_result(predictions, targets, opt.dataset,
+                                          opt.task, opt.num_class)
+            features = None
+            if opt.save_best_features:
+                feats_np = [np.asarray(f) for f in feats]  # each [NB, bs, d]
+                features = [[f[i][m] for f in feats_np]
+                            for i, m in enumerate(masks)]
+            return (float(jnp.sum(losses)) / n,
+                    (np.asarray(jnp.sum(mis, axis=0)) / n).tolist(), score,
+                    predictions, targets, features)
+
+        return finalize
+
+    def _evaluate_epoch_scan(self, loader):
+        return self._evaluate_epoch_scan_dispatch(loader)()
 
     def _log_gradients(self, model_batch, labels_dev, stage: int):
         """--check_gradient: per-module |grad| sums
@@ -602,11 +659,29 @@ class Solver:
                 jax.profiler.start_trace(opt.profile_dir)
                 profiling = True
             t0 = time.time()
-            train_loss, train_loss_mi, train_mis, train_score = self.train(epoch)
-            (val_loss, val_mis, val_score, val_predictions, val_targets,
-             val_features) = self.evaluate(self.valid_loader)
-            (test_loss, test_mis, test_score, test_predictions, test_targets,
-             test_features) = self.evaluate(self.test_loader)
+            if opt.epoch_scan and not opt.check_gradient:
+                # dispatch ALL of the epoch's programs (stage1, stage2,
+                # valid eval, test eval) before syncing anything: the
+                # host computes training metrics while the device is
+                # still running the eval scans
+                fin_train = self._train_epoch_scan_dispatch(epoch)
+                fin_val = self._evaluate_epoch_scan_dispatch(
+                    self.valid_loader)
+                fin_test = self._evaluate_epoch_scan_dispatch(
+                    self.test_loader)
+                train_loss, train_loss_mi, train_mis, train_score = (
+                    fin_train())
+                (val_loss, val_mis, val_score, val_predictions, val_targets,
+                 val_features) = fin_val()
+                (test_loss, test_mis, test_score, test_predictions,
+                 test_targets, test_features) = fin_test()
+            else:
+                (train_loss, train_loss_mi, train_mis,
+                 train_score) = self.train(epoch)
+                (val_loss, val_mis, val_score, val_predictions, val_targets,
+                 val_features) = self.evaluate(self.valid_loader)
+                (test_loss, test_mis, test_score, test_predictions,
+                 test_targets, test_features) = self.evaluate(self.test_loader)
 
             # LR schedule (applied to BOTH optimizers, ref: Solver.py:52-57)
             factor = self.lr_schedule.step(val_loss)

@@ -171,6 +171,7 @@ class StepFactory:
                     batch["bert_sentences"], batch["bert_sentence_types"],
                     batch["bert_sentence_att_mask"],
                     n_microbatches=cfg.pipe_microbatches,
+                    n_virtual=cfg.pipe_virtual, remat=cfg.pipe_remat,
                     deterministic=deterministic,
                     rng=None if deterministic else jax.random.fold_in(rng, 7))
             return model_apply(
@@ -334,15 +335,21 @@ class StepFactory:
                 return (new_p, new_opt_state), loss
 
             # n_passes sweeps over the cached features (--fast_stage1
-            # semantics: features fixed within the stage)
-            tiled_feats = jax.tree_util.tree_map(
-                lambda x: jnp.concatenate([x] * n_passes, axis=0), feats_stack)
-            tiled_labels = jnp.concatenate([labels_stack] * n_passes, axis=0)
+            # semantics: features fixed within the stage). Outer scan over
+            # passes, inner scan over batches — same visit order and keys
+            # as materializing [n_passes*NB, ...] but without tiling the
+            # whole epoch's feature stack n_passes x in HBM.
             upd_keys = jax.random.split(k_upd, nb * n_passes)
-            (params_vmi, opt_state), losses = jax.lax.scan(
-                upd_body, (params_vmi, opt_state),
-                (tiled_feats, tiled_labels, upd_keys))
-            return params_vmi, opt_state, jnp.sum(losses)
+            upd_keys = upd_keys.reshape((n_passes, nb) + upd_keys.shape[1:])
+
+            def pass_body(carry, keys_pass):
+                carry, losses = jax.lax.scan(
+                    upd_body, carry, (feats_stack, labels_stack, keys_pass))
+                return carry, jnp.sum(losses)
+
+            (params_vmi, opt_state), pass_losses = jax.lax.scan(
+                pass_body, (params_vmi, opt_state), upd_keys)
+            return params_vmi, opt_state, jnp.sum(pass_losses)
 
         def train_epoch(params_main, params_bert, params_vmi, opt_state,
                         batches, labels_stack, bank, new_bank, rng,

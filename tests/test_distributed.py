@@ -59,6 +59,7 @@ def test_sharded_matmul_matches_replicated():
     assert np.allclose(got, expected, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_entrypoint():
     """The driver's multi-chip dry run must pass on the CPU mesh."""
     import __graft_entry__ as ge
@@ -66,6 +67,7 @@ def test_dryrun_multichip_entrypoint():
     ge.dryrun_multichip(8)
 
 
+@pytest.mark.slow
 def test_sharded_critic_scores_are_global():
     """The [bs, bs] critic matmul must see the global batch when the
     features are data-sharded (the reference computed MI on device 0's
@@ -83,3 +85,76 @@ def test_sharded_critic_scores_are_global():
     got = np.asarray(jax.jit(critic.apply)(params, xs, ys))
     assert got.shape == (16, 16)
     assert np.allclose(got, expected, atol=1e-4)
+
+
+def test_dcn_mesh_shapes_and_batch_sharding():
+    """Multi-slice mesh: leading dcn axis; the batch shards over
+    dcn x data jointly; params stay replicated across dcn."""
+    from jax.sharding import PartitionSpec as P
+
+    from mimrl_tpu.parallel.mesh import DCN_AXIS, batch_axes
+
+    mesh = make_mesh(2, 2, 1, dcn=2)
+    assert mesh.shape[DCN_AXIS] == 2 and mesh.shape[DATA_AXIS] == 2
+    assert batch_axes(mesh) == (DCN_AXIS, DATA_AXIS)
+    batch = {"x": np.ones((8, 4), np.float32)}
+    sharded = shard_batch(mesh, batch)
+    assert sharded["x"].sharding.spec == P((DCN_AXIS, DATA_AXIS))
+    # params: replicated across dcn (slice-local copies)
+    params = shard_params(mesh, {"big": jnp.ones((64, 64))})
+    assert params["big"].sharding.spec == P(None, MODEL_AXIS)
+
+
+@pytest.mark.slow
+def test_dcn_sharded_train_step_matches_replicated():
+    """A full train step on the (dcn=2, data=2, model=2) mesh produces
+    the same loss as the unsharded step — dcn is a layout, not math."""
+    import __graft_entry__ as ge
+    from mimrl_tpu.models.model import init_full
+    from mimrl_tpu.train.optim import (
+        make_main_optimizer, make_vmi_optimizer, merge_params,
+        partition_params)
+    from mimrl_tpu.train.steps import FeatureBank, StepFactory
+
+    bs, time_len, d_a, d_v, d_common = 8, 8, 6, 4, 16
+    cfg, model = ge._build(bs, time_len, d_a, d_v, d_common=d_common,
+                           bert_layers=2, bert_hidden=32, bert_heads=2,
+                           cube_l=4)
+    inputs = ge._inputs(bs, time_len, d_a, d_v)
+    params = init_full(model, {"params": jax.random.PRNGKey(0)},
+                       *inputs)["params"]
+    p_main, p_bert, p_vmi = partition_params(params)
+    opt_main = make_main_optimizer(cfg, p_main, p_bert)
+    opt_vmi = make_vmi_optimizer(cfg)
+    n_bank = 2 * bs
+    bank = FeatureBank.create(n_bank, n_bank, d_common).replace(
+        F=jax.random.normal(jax.random.PRNGKey(2), (n_bank, d_common)),
+        T=jax.random.normal(jax.random.PRNGKey(3), (n_bank, d_common)),
+        A=jax.random.normal(jax.random.PRNGKey(4), (n_bank, d_common)),
+        V=jax.random.normal(jax.random.PRNGKey(5), (n_bank, d_common)),
+        C=jax.random.normal(jax.random.PRNGKey(1), (n_bank, 1)))
+    batch = {
+        "bert_sentences": inputs[0], "bert_sentence_types": inputs[1],
+        "bert_sentence_att_mask": inputs[2], "audio": inputs[3],
+        "video": inputs[4], "sample_mask": jnp.ones((bs,), jnp.float32),
+    }
+    labels = jnp.asarray(
+        np.random.default_rng(1).normal(size=(bs,)), jnp.float32)
+    rng = jax.random.PRNGKey(42)
+
+    # train_step donates its param/opt buffers; replay from host copies
+    host = jax.device_get((p_main, p_bert, p_vmi))
+    losses = {}
+    for name, mesh in (("repl", None), ("dcn", make_mesh(2, 2, 1, dcn=2))):
+        pm, pb, pv = jax.tree.map(jnp.asarray, host)
+        oms = opt_main.init(merge_params(pm, pb))
+        steps = StepFactory(model, cfg, opt_main, opt_vmi, mesh=mesh)
+        nb = FeatureBank.create(n_bank, n_bank, d_common)
+        b = batch if mesh is None else shard_batch(mesh, batch)
+        if mesh is not None:
+            pm, pb, pv = (shard_params(mesh, p) for p in (pm, pb, pv))
+        (_, _, _, loss, _, out, _) = steps.train_step(
+            pm, pb, pv, oms, b, labels, bank, nb, 0, rng, use_mi=True)
+        losses[name] = float(loss)
+        assert np.isfinite(np.asarray(out)).all()
+    assert np.isclose(losses["repl"], losses["dcn"], rtol=1e-4), losses

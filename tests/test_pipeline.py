@@ -57,6 +57,74 @@ def test_pipelined_bert_matches_sequential(data, pipe, micro):
     np.testing.assert_allclose(got, expected, atol=2e-5, rtol=2e-5)
 
 
+@pytest.mark.parametrize("data,pipe,micro,virtual,remat", [
+    (2, 2, 4, 2, False),   # interleaved, M > S: wraparound buffering
+    (2, 4, 4, 1, True),    # GPipe + chunk remat
+    (4, 2, 2, 2, True),    # interleaved + remat, M == S
+])
+def test_interleaved_schedule_matches_sequential(data, pipe, micro, virtual,
+                                                 remat):
+    """The interleaved (Megatron-layer-assignment) schedule and chunk
+    remat are schedules, not approximations: bit-level parity with the
+    sequential stack."""
+    cfg = _tiny_bert(n_layers=4)
+    model = BertModel(cfg)
+    ids, types, mask = _data()
+    params = model.init(jax.random.PRNGKey(0), ids, types, mask)["params"]
+    expected = np.asarray(model.apply({"params": params}, ids, types, mask,
+                                      deterministic=True))
+    mesh = make_mesh(data, 1, pipe)
+    got = np.asarray(jax.jit(
+        lambda p: bert_forward_pipelined(
+            p, cfg, mesh, ids, types, mask, n_microbatches=micro,
+            n_virtual=virtual, remat=remat, deterministic=True))(params))
+    np.testing.assert_allclose(got, expected, atol=2e-5, rtol=2e-5)
+
+
+@pytest.mark.slow
+def test_interleaved_grads_match_sequential():
+    cfg = _tiny_bert(n_layers=4)
+    model = BertModel(cfg)
+    ids, types, mask = _data()
+    params = model.init(jax.random.PRNGKey(0), ids, types, mask)["params"]
+    cot = jnp.asarray(
+        np.random.default_rng(1).normal(size=(8, 12, 16)), jnp.float32)
+
+    def loss_seq(p):
+        out = model.apply({"params": p}, ids, types, mask, deterministic=True)
+        return jnp.sum(out * cot)
+
+    mesh = make_mesh(4, 1, 2)
+
+    def loss_pipe(p):
+        out = bert_forward_pipelined(
+            p, cfg, mesh, ids, types, mask, n_microbatches=4, n_virtual=2,
+            remat=True, deterministic=True)
+        return jnp.sum(out * cot)
+
+    g_seq = jax.jit(jax.grad(loss_seq))(params)
+    g_pipe = jax.jit(jax.grad(loss_pipe))(params)
+    flat_seq = jax.tree_util.tree_leaves_with_path(g_seq)
+    flat_pipe = dict(jax.tree_util.tree_leaves_with_path(g_pipe))
+    assert flat_seq and len(flat_seq) == len(flat_pipe)
+    for path, leaf in flat_seq:
+        np.testing.assert_allclose(
+            np.asarray(leaf), np.asarray(flat_pipe[path]), atol=5e-4,
+            rtol=5e-3, err_msg=jax.tree_util.keystr(path))
+
+
+def test_interleaved_needs_enough_microbatches():
+    cfg = _tiny_bert(n_layers=4)
+    ids, types, mask = _data()
+    model = BertModel(cfg)
+    params = model.init(jax.random.PRNGKey(0), ids, types, mask)["params"]
+    mesh = make_mesh(2, 1, 2)
+    with pytest.raises(ValueError, match="pipe_microbatches"):
+        bert_forward_pipelined(params, cfg, mesh, ids, types, mask,
+                               n_microbatches=1, n_virtual=2)
+
+
+@pytest.mark.slow
 def test_pipelined_bert_grads_match():
     cfg = _tiny_bert(n_layers=4)
     model = BertModel(cfg)
@@ -134,6 +202,7 @@ def test_seq_shard_matches_unconstrained():
     np.testing.assert_allclose(got, expected, atol=2e-5, rtol=2e-5)
 
 
+@pytest.mark.slow
 def test_pipeline_full_train_step():
     """Full two-stage train step with the pipelined BERT path wired
     through StepFactory (mesh_pipe=2): dp x pp composition."""

@@ -13,6 +13,8 @@ from mimrl_tpu.core.config import MimrlConfig
 from mimrl_tpu.data.synthetic import make_dec_fixture
 from mimrl_tpu.train.solver import Solver
 
+pytestmark = pytest.mark.slow  # full-solver e2e: excluded from the fast lane
+
 
 @pytest.fixture(scope="module")
 def dec_root(tmp_path_factory):
@@ -134,3 +136,25 @@ def test_loss_decreases_on_learnable_synthetic(dec_root, tmp_path_factory):
     train_loss = [s["value"] for s in scalars if s["tag"] == "Train/Loss"]
     assert len(train_loss) == 4
     assert train_loss[-1] < train_loss[0], train_loss
+
+
+def test_bank_dtype_bf16(dec_root, tmp_path_factory):
+    """--bank_dtype bfloat16: the feature banks are stored in bf16
+    (halving bank HBM + kNN distance traffic) and the run still
+    produces finite metrics and active MI telemetry."""
+    import json
+
+    import jax.numpy as jnp
+
+    task_dir = str(tmp_path_factory.mktemp("bankdt"))
+    cfg = tiny_cfg(dec_root, task_dir, epochs_num=2, task_name="b",
+                   bank_dtype="bfloat16")
+    solver = Solver(cfg)
+    assert solver.bank.F.dtype == jnp.bfloat16
+    best = solver.solve()
+    assert solver.bank.F.dtype == jnp.bfloat16  # post-epoch banks too
+    assert best[0] is not None and np.isfinite(best[0]["mae"])
+    scalars = [json.loads(l) for l in
+               open(os.path.join(task_dir, "b", "scalars.jsonl"))]
+    mi_ft = [s for s in scalars if s["tag"] == "Train/MI_ft"]
+    assert mi_ft[1]["value"] != 0.0 and np.isfinite(mi_ft[1]["value"])
