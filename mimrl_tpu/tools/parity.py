@@ -1,0 +1,202 @@
+"""Executable accuracy-parity harness (BASELINE.md protocol).
+
+One command runs the canonical MOSI-Dec recipe end-to-end
+(ref: README.md:17-24 — bs=128, GRU, CubeMLP 50-3-128=10-3-128,
+InfoNCE/separate/constant, stage1_n=2, Adam 4e-3, multi-step 9-60 x0.1,
+70 epochs) and emits a single JSON document with everything the
+comparison protocol needs: the full metric dict for valid/test/
+test-at-best-valid, the 8 per-epoch MI telemetry channels, and
+samples/sec — directly comparable against a locally-executed reference
+run or the paper's MOSI table.
+
+Real-data runs REQUIRE --bert_vocab and --bert_weights: without them the
+tokenizer silently hash-buckets words and BERT starts from random init,
+which trains but cannot reproduce paper accuracy. The harness hard-fails
+in that case unless --allow_hermetic is passed (synthetic-fixture CI).
+
+Usage (real data):
+    python -m mimrl_tpu.tools.parity \
+        --data_dir /path/to/pickles --bert_vocab /path/to/vocab.txt \
+        --bert_weights /path/to/pytorch_model.bin --out parity.json
+
+Hermetic smoke (synthetic fixture, tiny shapes):
+    python -m mimrl_tpu.tools.parity --synthetic --allow_hermetic \
+        --epochs_num 2 --out /tmp/parity.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import sys
+import tempfile
+import time
+
+MI_CHANNELS = ("MI_ft", "MI_fa", "MI_fv", "MI_in", "MI_spec_t", "MI_spec_a",
+               "MI_spec_v", "MI_comp")
+
+
+def canonical_config(**overrides):
+    """The canonical MOSI-Dec parity recipe as a MimrlConfig
+    (ref: README.md:17-24; recipes/mosi_dec_canonical.sh)."""
+    from mimrl_tpu.core.config import MimrlConfig
+
+    base = dict(
+        task_name="parity", dataset="mosi_Dec",
+        log_scale=[False, False, False], normalize=[False, True, True],
+        batch_size=128, num_workers=8, d_common=128, encoders="gru",
+        activate="gelu", time_len=100,
+        d_hiddens=[[50, 3, 128], [10, 3, 128]],
+        d_outs=[[50, 3, 128], [10, 3, 128]],
+        dropout_mlp=[0.0, 0.0, 0.0], dropout=[0.1, 0.1, 0.1, 0.1],
+        bias=True, res_project=[True, True],
+        critic_type="separate", baseline_type="constant",
+        bound_type="infonce", mi_lr_rate=1.0, cmi_lr_rate=1.0,
+        loss_mi_coefficient1=[1.0] * 11, loss_mi_coefficient2=[0.01] * 8,
+        k_neighbor=2, radius=1.0, cmi_last_acticate="sigmoid", stage1_n=2,
+        seed=0, loss="MAE", gradient_clip=1.5, epochs_num=70, optm="Adam",
+        learning_rate=4e-3, bert_freeze="no", bert_lr_rate=0.01,
+        weight_decay=0.0, lr_decrease="multi_step", lr_decrease_iter="9-60",
+        lr_decrease_rate=0.1, save_best_features=True, parallel=True,
+    )
+    base.update(overrides)
+    return MimrlConfig(**base)
+
+
+def _mi_trajectories(task_path: str) -> dict:
+    """Per-epoch MI channel values from scalars.jsonl, keyed
+    '<Split>/<channel>' exactly as the reference's TB tags
+    (ref: Solver.py:470-477)."""
+    out: dict = {}
+    path = os.path.join(task_path, "scalars.jsonl")
+    if not os.path.exists(path):
+        return out
+    with open(path) as f:
+        for line in f:
+            rec = json.loads(line)
+            tag = rec["tag"]
+            if any(tag.endswith(c) for c in MI_CHANNELS):
+                out.setdefault(tag, []).append(rec["value"])
+    return out
+
+
+def _samples_per_sec(task_path: str) -> float:
+    """Median post-compile per-epoch samples/s from the run log."""
+    path = os.path.join(task_path, "Running.log")
+    vals = []
+    if os.path.exists(path):
+        for line in open(path):
+            m = re.search(r"([0-9.]+) samples/s", line)
+            if m:
+                vals.append(float(m.group(1)))
+    if not vals:
+        return float("nan")
+    vals = sorted(vals[1:] or vals)  # drop the compile epoch
+    return vals[len(vals) // 2]
+
+
+def run_parity(args) -> dict:
+    if args.synthetic:
+        root = tempfile.mkdtemp(prefix="parity_syn_")
+        from mimrl_tpu.data.synthetic import make_dec_fixture
+
+        make_dec_fixture(root, "mosi", n_per_split=(64, 16, 16),
+                         d_audio=5, d_video=20, seed=args.seed)
+        data_dir = root
+    else:
+        data_dir = args.data_dir
+        if not data_dir:
+            sys.exit("parity: --data_dir is required (or pass --synthetic "
+                     "for the hermetic fixture mode)")
+
+    hermetic = not (args.bert_vocab and args.bert_weights)
+    if hermetic and not args.allow_hermetic:
+        sys.exit(
+            "parity: REFUSING to run without --bert_vocab AND "
+            "--bert_weights.\nWithout them the tokenizer falls back to "
+            "hash-bucket word ids and BERT starts from RANDOM init — the "
+            "run trains, but its accuracy is meaningless as a parity "
+            "number against the paper.\nPass --allow_hermetic to "
+            "acknowledge this (synthetic-fixture CI does).")
+
+    overrides = dict(
+        data_dir=data_dir, bert_vocab=args.bert_vocab,
+        bert_weights=args.bert_weights, task_dir=args.task_dir,
+        task_name=args.task_name, epochs_num=args.epochs_num,
+        seed=args.seed, epoch_scan=args.epoch_scan,
+        compute_dtype=args.compute_dtype, quant=args.quant,
+        save_latest_every=0,
+    )
+    if args.synthetic:
+        # tiny shapes so the hermetic smoke finishes in minutes
+        overrides.update(
+            batch_size=16, time_len=24, d_common=32,
+            d_hiddens=[[24, 3, 32], [8, 3, 32]],
+            d_outs=[[24, 3, 32], [8, 3, 32]],
+            bert_layers=2, bert_heads=2, bert_hidden=32,
+            num_workers=0, save_best_features=False)
+
+    cfg = canonical_config(**overrides)
+    from mimrl_tpu.train.solver import Solver
+
+    t0 = time.time()
+    solver = Solver(cfg)
+    best = solver.solve()
+    wall = time.time() - t0
+    task_path = solver.task_path
+
+    report = {
+        "protocol": "BASELINE.md canonical MOSI-Dec recipe "
+                    "(ref: README.md:17-24)",
+        "hermetic": hermetic,
+        "config": json.loads(cfg.to_json()),
+        "wall_time_sec": round(wall, 2),
+        "samples_per_sec": _samples_per_sec(task_path),
+        "best_valid_score": best[0],
+        "best_test_score": best[1],
+        "test_score_at_best_valid": best[2],
+        "mi_channels": _mi_trajectories(task_path),
+        "task_path": task_path,
+    }
+    return report
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(
+        description="MIMRL accuracy-parity harness (BASELINE.md protocol)")
+    ap.add_argument("--data_dir", default=None,
+                    help="root with mosi_{train,valid,test}.pkl (Dec schema)")
+    ap.add_argument("--bert_vocab", default=None)
+    ap.add_argument("--bert_weights", default=None)
+    ap.add_argument("--allow_hermetic", action="store_true",
+                    help="run without vocab/weights (hash tokenizer + "
+                         "random BERT) — CI/synthetic use only")
+    ap.add_argument("--synthetic", action="store_true",
+                    help="generate a synthetic Dec fixture and run tiny "
+                         "shapes (hermetic smoke)")
+    ap.add_argument("--epochs_num", type=int, default=70)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--epoch_scan", action="store_true", default=True)
+    ap.add_argument("--no_epoch_scan", dest="epoch_scan",
+                    action="store_false")
+    ap.add_argument("--compute_dtype", default="bfloat16")
+    ap.add_argument("--quant", default="none",
+                    choices=["none", "int8_fwd", "int8", "int8_all"])
+    ap.add_argument("--task_dir", default="./TaskRuning")
+    ap.add_argument("--task_name", default="parity")
+    ap.add_argument("--out", default=None, help="write the JSON report here")
+    args = ap.parse_args(argv)
+
+    report = run_parity(args)
+    text = json.dumps(report, indent=2, default=float)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(text)
+    print(text)
+    return report
+
+
+if __name__ == "__main__":
+    main()
