@@ -113,6 +113,7 @@ def test_interpolate_loomean_finite():
         ("dv", "separate", "constant"),
     ],
 )
+@pytest.mark.slow
 def test_gaussian_mi_recovery(bound, critic, baseline):
     """Train each MI-scale bound on correlated Gaussians; the estimate
     must land in a loose but meaningful window around the analytic MI."""
@@ -133,6 +134,7 @@ def test_gaussian_mi_recovery(bound, critic, baseline):
     assert mi_score < 2.5 * true_mi, (bound, mi_score, true_mi)
 
 
+@pytest.mark.slow
 def test_run_sweep_smoke():
     """The executable calibration sweep (python -m mimrl_tpu.mi.standalone,
     the reference's VMI.py __main__) returns (rho, true, est) rows."""
@@ -145,6 +147,7 @@ def test_run_sweep_smoke():
     assert rho == 0.7 and true_mi > 1.5 and np.isfinite(est)
 
 
+@pytest.mark.slow
 def test_gaussian_js_fgan_signal():
     """js_fgan maximizes a Jensen-Shannon objective, NOT an MI-scale
     quantity: its optimum is <= 0 and its value at an uninformative
@@ -160,6 +163,7 @@ def test_gaussian_js_fgan_signal():
     assert -1.0 < mi_score <= 0.05, mi_score
 
 
+@pytest.mark.slow
 def test_gaussian_interpolate_recovery():
     """The interpolated bound is high-variance early in training
     (exp of unclipped scores); estimate from the smoothed tail instead
@@ -178,6 +182,7 @@ def test_gaussian_interpolate_recovery():
     assert mi_score < 3.0 * true_mi, (mi_score, true_mi)
 
 
+@pytest.mark.slow
 def test_independent_gaussian_mi_near_zero():
     key = jax.random.PRNGKey(1)
     kd, kt = jax.random.split(key)

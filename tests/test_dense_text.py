@@ -52,6 +52,7 @@ def test_uses_raw_text_routing():
     assert not uses_raw_text(mk(dataset="mosi_SDK", text="glove"))
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("epoch_scan", [False, True])
 def test_local_dataset_end_to_end(tmp_path, epoch_scan):
     """mosi_50 (reconstructed LocalDataset, dense glove text) trains the

@@ -10,6 +10,8 @@ import pytest
 
 from mimrl_tpu.data.synthetic import make_dec_fixture
 
+pytestmark = pytest.mark.slow  # full-solver e2e: excluded from the fast lane
+
 
 @pytest.fixture(scope="module")
 def env(tmp_path_factory):

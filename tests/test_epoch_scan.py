@@ -11,6 +11,8 @@ from mimrl_tpu.core.config import MimrlConfig
 from mimrl_tpu.data.synthetic import make_dec_fixture
 from mimrl_tpu.train.solver import Solver
 
+pytestmark = pytest.mark.slow  # full-solver e2e: excluded from the fast lane
+
 
 @pytest.fixture(scope="module")
 def dec_root(tmp_path_factory):

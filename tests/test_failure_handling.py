@@ -38,6 +38,7 @@ def _cfg(root, task_dir, **kw):
     return MimrlConfig(**base)
 
 
+@pytest.mark.slow
 def test_skip_nonfinite_updates_guards_params():
     """A poisoned batch (NaN labels -> NaN loss) must leave params
     bit-identical with the guard on. Subtlety the guard covers: XLA
@@ -144,6 +145,7 @@ def _lookup(tree, path):
     return node
 
 
+@pytest.mark.slow
 def test_preemption_graceful_checkpoint(dec_root, tmp_path_factory):
     """request_preemption() (the SIGTERM handler's body) finishes the
     epoch, writes a resumable `latest`, and stops; --resume continues
