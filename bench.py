@@ -34,9 +34,10 @@ DataParallel gather); this isolates the main architectural win honestly.
 Env overrides: BENCH_BS, BENCH_TIME_LEN, BENCH_STEPS, BENCH_BERT_LAYERS,
 BENCH_SKIP_BASELINE=1, BENCH_SKIP_DEFAULT=1 (skip the default-semantics
 window), BENCH_EPOCH_SCAN=0 (per-batch headline), BENCH_QUANT
-(none|int8_fwd|int8|int8_all, default int8 — int8 MXU matmuls for the
-BERT dense GEMMs, ops/quant.py; the synthetic convergence suite guards
-metric parity, tests/test_solver_variants.py::test_quant_int8_converges).
+(none|int8_fwd|int8|int8_all, default none — int8 MXU matmuls for the
+BERT dense GEMMs measured slower end-to-end at canonical shapes on v5e,
+see docs/PERFORMANCE.md; the synthetic convergence suite guards metric
+parity, tests/test_solver_variants.py::test_quant_int8_converges).
 """
 
 from __future__ import annotations
@@ -68,7 +69,11 @@ def main():
     n_steps = int(os.environ.get("BENCH_STEPS", 10))
     bert_layers = int(os.environ.get("BENCH_BERT_LAYERS", 12))
     dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
-    quant = os.environ.get("BENCH_QUANT", "int8")
+    # Default: bf16 ('none'). The int8 path was measured SLOWER end-to-end
+    # on the v5e at canonical shapes (803 vs 1085 samples/s) — the dynamic
+    # per-row quantize/dequantize traffic outweighs the MXU rate win at
+    # these GEMM sizes; see docs/PERFORMANCE.md. Kept as an opt-in knob.
+    quant = os.environ.get("BENCH_QUANT", "none")
     d_a, d_v, d_common = 5, 20, 128  # mosi_dec dims (ref: Config.py:75)
 
     cfg, model = _build(bs, time_len, d_a, d_v, d_common=d_common,
@@ -140,10 +145,25 @@ def main():
             lambda x: jnp.broadcast_to(x[None], (n_steps, *x.shape)), batch)
         labels_stack = jnp.broadcast_to(labels[None], (n_steps, bs))
 
+        stage1_cached = os.environ.get("BENCH_STAGE1_CACHED", "1") == "1"
+        # measurement-only knob: skip stage 1 entirely to isolate the
+        # stage-2 train_epoch cost (NOT a training mode)
+        skip_stage1 = os.environ.get("BENCH_SKIP_STAGE1", "0") == "1"
+
         def one_window(p_main, p_bert, p_vmi, ovs, oms, new_bank, r):
-            p_vmi, ovs, l1 = steps.critic_epoch(
-                p_main, p_bert, p_vmi, ovs, batches_stack, labels_stack,
-                bank, jax.random.fold_in(r, 0), n_passes=cfg.stage1_n)
+            if skip_stage1:
+                l1 = jnp.float32(0)
+            elif stage1_cached:
+                # --stage1_cached: critics sweep the epoch-stale bank,
+                # no stage-1 forward at all
+                p_vmi, ovs, l1 = steps.critic_epoch_cached(
+                    p_main, p_bert, p_vmi, ovs, bank,
+                    jax.random.fold_in(r, 0), n_passes=cfg.stage1_n,
+                    nb=min(n_steps, n_bank // bs))
+            else:
+                p_vmi, ovs, l1 = steps.critic_epoch(
+                    p_main, p_bert, p_vmi, ovs, batches_stack, labels_stack,
+                    bank, jax.random.fold_in(r, 0), n_passes=cfg.stage1_n)
             (p_main, p_bert, oms, losses, mis, outs, new_bank) = (
                 steps.train_epoch(p_main, p_bert, p_vmi, oms, batches_stack,
                                   labels_stack, bank, new_bank,

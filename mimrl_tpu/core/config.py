@@ -125,10 +125,19 @@ class MimrlConfig:
     # the main single-chip throughput lever past the bf16 roofline.
     quant: str = "none"
     use_pallas: bool = False  # fused Pallas CubeMLP kernel
+    # vmap-batch the 11 MI/CMI estimators (identical math + param names,
+    # ~130 tiny GEMMs -> ~12 batched; see models/model.py
+    # _all_estimates_fused). On by default; --unfused_estimators to
+    # debug/compare against the sequential execution order.
+    fused_estimators: bool = True
     data_dir: Optional[str] = None  # overrides dataset root paths
     bert_vocab: Optional[str] = None  # path to a WordPiece vocab.txt
     bert_weights: Optional[str] = None  # path to pretrained BERT weights (.msgpack/.npz)
     bert_layers: int = 12  # BERT depth (12 = bert-base)
+    # BERT-internal dropout (hidden + attention probs). 0.1 = the HF/
+    # reference default baked into torch BertModel; tests set 0 for
+    # deterministic-forward equivalence checks.
+    bert_dropout: float = 0.1
     bert_heads: int = 12
     bert_hidden: int = 768
     resume: Optional[str] = None  # checkpoint dir to resume from
@@ -152,6 +161,12 @@ class MimrlConfig:
     # (host stacks the epoch's batches and dispatches once); implies the
     # fast_stage1 feature-reuse semantics for stage 1
     epoch_scan: bool = False
+    # deepest stage-1 perf mode (requires --epoch_scan): train critics on
+    # the epoch-stale feature bank written by the previous epoch's stage-2
+    # forwards — stage 1 then runs NO model forward at all. One step past
+    # fast_stage1 on the reuse ladder (one dropout draw, one epoch stale);
+    # the kNN contrast samples already come from the same stale bank.
+    stage1_cached: bool = False
     # fusion encoder family (README.md:13: the fusion encoder is
     # replaceable): cubemlp (reference) | transformer | tfn
     fusion: str = "cubemlp"
@@ -206,6 +221,10 @@ class MimrlConfig:
             f"--moe_topk {self.moe_topk} cannot exceed --moe_experts "
             f"{self.moe_experts}")
         check(self.fusion, "fusion", ("cubemlp", "transformer", "tfn", "moe"))
+        assert not (self.stage1_cached and not self.epoch_scan), (
+            "--stage1_cached requires --epoch_scan: the bank-slice critic "
+            "sweep is an epoch-level scanned program (per-batch loaders "
+            "may reshuffle, so batch order cannot address bank rows)")
         assert len(self.d_hiddens) == len(self.d_outs) == len(self.res_project), (
             "d_hiddens, d_outs and res_project must have the same depth"
         )
@@ -326,10 +345,13 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--quant", default=d.quant, type=str,
                    choices=["none", "int8_fwd", "int8", "int8_all"])
     p.add_argument("--use_pallas", action="store_true")
+    p.add_argument("--unfused_estimators", dest="fused_estimators",
+                   action="store_false")
     p.add_argument("--data_dir", default=None, type=str)
     p.add_argument("--bert_vocab", default=None, type=str)
     p.add_argument("--bert_weights", default=None, type=str)
     p.add_argument("--bert_layers", default=d.bert_layers, type=int)
+    p.add_argument("--bert_dropout", default=d.bert_dropout, type=float)
     p.add_argument("--bert_heads", default=d.bert_heads, type=int)
     p.add_argument("--bert_hidden", default=d.bert_hidden, type=int)
     p.add_argument("--resume", default=None, type=str)
@@ -342,6 +364,7 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--save_latest_every", default=d.save_latest_every,
                    type=int)
     p.add_argument("--epoch_scan", action="store_true")
+    p.add_argument("--stage1_cached", action="store_true")
     p.add_argument("--fusion", default=d.fusion, type=str,
                    choices=["cubemlp", "transformer", "tfn", "moe"])
     p.add_argument("--fusion_layers", default=d.fusion_layers, type=int)

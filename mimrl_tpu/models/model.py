@@ -98,6 +98,10 @@ class MimrlModel(nn.Module):
     radius: float = 1.0
     cmi_last_acticate: str = "sigmoid"
     use_pallas: bool = False
+    # batch the 5 VMI + 6 VCMI estimators into vmapped applies (stacked
+    # params, identical math/param-names; ~130 tiny GEMMs -> ~12 batched
+    # ones). Falls back to sequential for the CLUB bound and during init.
+    fused_estimators: bool = False
     # fusion encoder family: 'cubemlp' (reference parity) |
     # 'transformer' | 'tfn' (README.md:13 calls the fusion replaceable)
     fusion: str = "cubemlp"
@@ -320,6 +324,9 @@ class MimrlModel(nn.Module):
         """Shared 5 MI + 6 CMI computation; knn maps CMI_KEYS to
         (x, y, z) conditional-product sample triples."""
         labels = self._tiled_labels(labels)
+        if (self.fused_estimators and not self.is_initializing()
+                and self.bound_type != "club"):
+            return self._all_estimates_fused(labels, F_F, T_F, A_F, V_F, knn)
         mi_f_t, l_f_t = self.vmi_estimator_f_t(F_F, T_F)
         mi_f_a, l_f_a = self.vmi_estimator_f_a(F_F, A_F)
         mi_f_v, l_f_v = self.vmi_estimator_f_v(F_F, V_F)
@@ -342,6 +349,62 @@ class MimrlModel(nn.Module):
             f_t=l_f_t, f_a=l_f_a, f_v=l_f_v, t_a=l_t_a, t_v=l_t_v,
             ac_t=cl_ac_t, ta_c=cl_ta_c, vc_t=cl_vc_t, tv_c=cl_tv_c,
             tc_a=cl_tc_a, tc_v=cl_tc_v,
+        )
+        return mis, losses
+
+    def _all_estimates_fused(self, labels, F_F, T_F, A_F, V_F, knn: Dict):
+        """Batched execution of the estimator bank (--fused_estimators).
+
+        All 5 VMI estimators are architecturally identical (hard-coded
+        hyperparams, ref: Model.py:285-286), as are all 6 VCMI
+        classifiers — so their parameter subtrees are stacked leaf-wise
+        per call and the module apply is vmapped over the leading axis.
+        This turns ~130 tiny sequential [bs,256]-class GEMMs into ~12
+        batched ones (a pure execution-order change: per-estimator math,
+        parameter names, shapes, and checkpoints are IDENTICAL to the
+        sequential path; gradients flow back through the stack).
+        `labels` arrives already tiled to d_common."""
+        vmi_mods = (self.vmi_estimator_f_t, self.vmi_estimator_f_a,
+                    self.vmi_estimator_f_v, self.vmi_estimator_t_a,
+                    self.vmi_estimator_t_v)
+        xs = jnp.stack([F_F, F_F, F_F, T_F, T_F])
+        ys = jnp.stack([T_F, A_F, V_F, A_F, V_F])
+        p5 = jax.tree_util.tree_map(
+            lambda *ls: jnp.stack(ls),
+            *[m.variables["params"] for m in vmi_mods])
+        tmpl5 = vmi_mods[0].clone(parent=None)
+        mis5, ls5 = jax.vmap(
+            lambda p, x, y: tmpl5.apply({"params": p}, x, y))(p5, xs, ys)
+
+        cmi_mods = (self.vcmi_estimator_ac_t, self.vcmi_estimator_ta_c,
+                    self.vcmi_estimator_vc_t, self.vcmi_estimator_tv_c,
+                    self.vcmi_estimator_tc_a, self.vcmi_estimator_tc_v)
+        trip = {
+            "ac_t": (A_F, labels, T_F), "ta_c": (T_F, A_F, labels),
+            "vc_t": (V_F, labels, T_F), "tv_c": (T_F, V_F, labels),
+            "tc_a": (T_F, labels, A_F), "tc_v": (T_F, labels, V_F),
+        }
+        cx = jnp.stack([trip[k][0] for k in CMI_KEYS])
+        cy = jnp.stack([trip[k][1] for k in CMI_KEYS])
+        cz = jnp.stack([trip[k][2] for k in CMI_KEYS])
+        kx = jnp.stack([knn[k][0] for k in CMI_KEYS])
+        ky = jnp.stack([knn[k][1] for k in CMI_KEYS])
+        kz = jnp.stack([knn[k][2] for k in CMI_KEYS])
+        p6 = jax.tree_util.tree_map(
+            lambda *ls: jnp.stack(ls),
+            *[m.variables["params"] for m in cmi_mods])
+        tmpl6 = cmi_mods[0].clone(parent=None)
+        cmis, cls_ = jax.vmap(
+            lambda p, a, b, c, d, e, f: tmpl6.apply(
+                {"params": p}, a, b, c, d, e, f))(p6, cx, cy, cz, kx, ky, kz)
+
+        mis = dict(
+            f_t=mis5[0], f_a=mis5[1], f_v=mis5[2], t_a=mis5[3], t_v=mis5[4],
+            **{k: cmis[i] for i, k in enumerate(CMI_KEYS)},
+        )
+        losses = dict(
+            f_t=ls5[0], f_a=ls5[1], f_v=ls5[2], t_a=ls5[3], t_v=ls5[4],
+            **{k: cls_[i] for i, k in enumerate(CMI_KEYS)},
         )
         return mis, losses
 

@@ -68,6 +68,8 @@ class Solver:
             num_attention_heads=opt.bert_heads,
             intermediate_size=opt.bert_hidden * 4,
             max_position_embeddings=max(512, opt.time_len),
+            hidden_dropout_prob=opt.bert_dropout,
+            attention_probs_dropout_prob=opt.bert_dropout,
             dtype=jnp.bfloat16 if opt.compute_dtype == "bfloat16"
             else jnp.float32,
             quant=opt.quant,
@@ -88,6 +90,7 @@ class Solver:
             bound_type=opt.bound_type, k_neighbor=opt.k_neighbor,
             radius=opt.radius, cmi_last_acticate=opt.cmi_last_acticate,
             use_pallas=opt.use_pallas,
+            fused_estimators=opt.fused_estimators,
             fusion=opt.fusion, fusion_layers=opt.fusion_layers,
             fusion_heads=opt.fusion_heads,
             moe_experts=opt.moe_experts, moe_topk=opt.moe_topk,
@@ -108,8 +111,11 @@ class Solver:
         # key derived from loop_rng (split/fold_in) inherits it.
         self.root_rng = jax.random.PRNGKey(opt.seed)
         init_rng, ortho_rng, _ = jax.random.split(self.root_rng, 3)
+        # jax names the counter-based impl 'threefry2x32'; the config
+        # surface keeps the short 'threefry' (parity with docs/flags)
+        impl = {"threefry": "threefry2x32"}.get(opt.rng_impl, opt.rng_impl)
         self.loop_rng = jax.random.fold_in(
-            jax.random.key(opt.seed, impl=opt.rng_impl), 2)
+            jax.random.key(opt.seed, impl=impl), 2)
         dummy = self._dummy_batch()
         variables = init_full(
             self.model, {"params": init_rng}, dummy["bert_sentences"],
@@ -450,11 +456,22 @@ class Solver:
         t_dispatch = time.time()
         loss_mi = None
         if epoch > 0 and self.have_bank:
-            (self.params_vmi, self.opt_vmi_state, loss_mi) = (
-                self.steps.critic_epoch(
-                    self.params_main, self.params_bert, self.params_vmi,
-                    self.opt_vmi_state, batches, labels_stack, self.bank,
-                    self._next_rng(), n_passes=opt.stage1_n))
+            if opt.stage1_cached:
+                # --stage1_cached: critics train on the epoch-stale bank
+                # (previous epoch's stage-2 features + labels); stage 1
+                # runs no model forward at all
+                (self.params_vmi, self.opt_vmi_state, loss_mi) = (
+                    self.steps.critic_epoch_cached(
+                        self.params_main, self.params_bert, self.params_vmi,
+                        self.opt_vmi_state, self.bank, self._next_rng(),
+                        n_passes=opt.stage1_n,
+                        nb=len(self.train_loader)))
+            else:
+                (self.params_vmi, self.opt_vmi_state, loss_mi) = (
+                    self.steps.critic_epoch(
+                        self.params_main, self.params_bert, self.params_vmi,
+                        self.opt_vmi_state, batches, labels_stack, self.bank,
+                        self._next_rng(), n_passes=opt.stage1_n))
 
         use_mi = self.have_bank
         new_bank = FeatureBank.create(

@@ -351,6 +351,66 @@ class StepFactory:
                 pass_body, (params_vmi, opt_state), upd_keys)
             return params_vmi, opt_state, jnp.sum(pass_losses)
 
+        def critic_epoch_cached(params_main, params_bert, params_vmi,
+                                opt_state, bank, rng, n_passes: int,
+                                nb: int):
+            """Stage 1 with NO forward pass at all (--stage1_cached):
+            critic-training features are read straight from the epoch-stale
+            feature bank — the same bank rows the previous epoch's stage-2
+            forwards wrote (train_step's bank write) and that already
+            supply the kNN contrast samples. One step deeper on the
+            fast-stage1 ladder: fast_stage1 reuses the current epoch's
+            forward across the n_passes; this mode reuses the previous
+            epoch's stage-2 forward (one dropout draw, one epoch stale).
+            Valid whenever stage 1 runs at all: epoch 0 skips stage 1 but
+            still fills the bank, so from epoch 1 on the bank is populated.
+            Labels come from bank.C (co-written with the features), so the
+            sweep is fully decoupled from the current epoch's loader order
+            (the loader may reshuffle between epochs; bank rows are in the
+            PREVIOUS epoch's order). Guarded by the synthetic convergence
+            suite (tests/test_solver_variants.py)."""
+            bs = cfg.batch_size
+            # mirror critic_epoch's key structure so that with identical
+            # bank contents the two paths produce identical updates
+            _, k_upd = jax.random.split(rng)
+
+            def upd_body(carry, inp):
+                p_vmi, opt_state = carry
+                offset, k = inp
+                sl = lambda M: jax.lax.dynamic_slice_in_dim(M, offset, bs,
+                                                            axis=0)
+                feats = (sl(bank.F), sl(bank.T), sl(bank.A), sl(bank.V))
+                labels = sl(bank.C)[:, 0].astype(jnp.float32)
+                knn = sample_all_knn(k, bank, bs, cfg.k_neighbor,
+                                     cfg.radius)
+
+                def loss_fn(p):
+                    merged_v = merge_params(params_main, params_bert, p)
+                    mis, losses = stage_loss(merged_v, labels, feats, knn, 1)
+                    return sum(l * c for l, c in zip(losses, c1))
+
+                loss, grads = jax.value_and_grad(loss_fn)(p_vmi)
+                updates, new_opt_state = opt_vmi.update(grads, opt_state,
+                                                        p_vmi)
+                new_p = optax.apply_updates(p_vmi, updates)
+                new_p, new_opt_state, _ = _guarded_update(
+                    cfg.skip_nonfinite_updates, loss, grads, new_p, p_vmi,
+                    new_opt_state, opt_state)
+                return (new_p, new_opt_state), loss
+
+            upd_keys = jax.random.split(k_upd, nb * n_passes)
+            upd_keys = upd_keys.reshape((n_passes, nb) + upd_keys.shape[1:])
+            offsets = jnp.arange(nb) * bs
+
+            def pass_body(carry, keys_pass):
+                carry, losses = jax.lax.scan(
+                    upd_body, carry, (offsets, keys_pass))
+                return carry, jnp.sum(losses)
+
+            (params_vmi, opt_state), pass_losses = jax.lax.scan(
+                pass_body, (params_vmi, opt_state), upd_keys)
+            return params_vmi, opt_state, jnp.sum(pass_losses)
+
         def train_epoch(params_main, params_bert, params_vmi, opt_state,
                         batches, labels_stack, bank, new_bank, rng,
                         use_mi: bool):
@@ -456,6 +516,9 @@ class StepFactory:
         self.critic_epoch = jax.jit(critic_epoch,
                                     static_argnames=("n_passes",),
                                     donate_argnums=(2, 3))
+        self.critic_epoch_cached = jax.jit(
+            critic_epoch_cached, static_argnames=("n_passes", "nb"),
+            donate_argnums=(2, 3))
         self.train_epoch = jax.jit(train_epoch,
                                    static_argnames=("use_mi",),
                                    donate_argnums=(0, 1, 3, 7))
