@@ -125,6 +125,10 @@ class MimrlConfig:
     # the main single-chip throughput lever past the bf16 roofline.
     quant: str = "none"
     use_pallas: bool = False  # fused Pallas CubeMLP kernel
+    # fused Pallas attention: 'on' | 'off' | 'auto' (= off; validated
+    # opt-in, measured break-even at canonical shapes — see
+    # models/bert.py::BertConfig.flash_attn and docs/PERFORMANCE.md)
+    flash_attn: str = "auto"
     # vmap-batch the 11 MI/CMI estimators (identical math + param names,
     # ~130 tiny GEMMs -> ~12 batched; see models/model.py
     # _all_estimates_fused). On by default; --unfused_estimators to
@@ -210,6 +214,7 @@ class MimrlConfig:
         check(self.cmi_last_acticate, "cmi_last_acticate",
               ("hardtanh", "sigmoid"))
         check(self.rng_impl, "rng_impl", ("rbg", "threefry"))
+        check(self.flash_attn, "flash_attn", ("auto", "on", "off"))
         check(self.quant, "quant", ("none", "int8_fwd", "int8", "int8_all"))
         check(self.ckpt_backend, "ckpt_backend", ("msgpack", "orbax"))
         assert not (self.seq_shard and self.mesh_pipe > 1), (
@@ -345,6 +350,8 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--quant", default=d.quant, type=str,
                    choices=["none", "int8_fwd", "int8", "int8_all"])
     p.add_argument("--use_pallas", action="store_true")
+    p.add_argument("--flash_attn", default=d.flash_attn, type=str,
+                   choices=["auto", "on", "off"])
     p.add_argument("--unfused_estimators", dest="fused_estimators",
                    action="store_false")
     p.add_argument("--data_dir", default=None, type=str)

@@ -51,6 +51,32 @@ class BertConfig:
     # (+ int8 activation grads). The four dense matmuls per layer are
     # 98% of layer FLOPs and run at 2x bf16 rate on the MXU in int8.
     quant: str = "none"
+    # fused Pallas attention kernel (ops/pallas/flash_attention.py):
+    # 'on' | 'off' | 'auto' (= off: measured break-even at canonical
+    # shapes — attention is ~2% of BERT FLOPs at time_len=100 and XLA
+    # already hides its HBM traffic behind the GEMMs, while the custom
+    # call acts as a scheduling barrier; see docs/PERFORMANCE.md). Kept
+    # as a validated opt-in for longer-sequence configs where the
+    # [T, T] score/prob/dropout tensors stop fitting the fusion budget.
+    # Never used under meshes or sequence sharding — GSPMD cannot
+    # partition through a pallas_call.
+    flash_attn: str = "auto"
+    # keep q/k/v in [bs, T, nh, hd] layout and fold the head transposes
+    # into the attention dot_generals instead of materializing
+    # [bs, nh, T, hd] copies (the transposes cost ~4 ms/step at canonical
+    # shapes — profiler category 'data formatting')
+    attn_fold_transpose: bool = False
+    # recompute gelu in the backward instead of saving BOTH the pre- and
+    # post-activation [bs, T, 4H] tensors as residuals
+    ffn_gelu_remat: bool = False
+    # rematerialize the attention core (QK^T/softmax/dropout) in the
+    # backward instead of saving the [bs, nh, T, T] prob tensors
+    attn_remat: bool = False
+    # whole-layer rematerialization policy: 'none' | 'dots' (save only
+    # matmul outputs; recompute LayerNorm/softmax/gelu/dropout masks in
+    # the backward — drops the u32 mask + f32 prob residual traffic) |
+    # 'full' (save nothing per layer)
+    layer_remat: str = "none"
     # Megatron-style sequence parallelism: a NamedSharding for the
     # [bs, T, H] inter-layer activations (time axis sharded over the
     # tensor-parallel mesh axis, e.g. P('data', 'model', None)). GSPMD
@@ -94,6 +120,15 @@ class BertEmbeddings(nn.Module):
         return nn.Dropout(c.hidden_dropout_prob)(x, deterministic=deterministic)
 
 
+def _resolve_flash(c: "BertConfig") -> bool:
+    """'auto' resolves to off: in-situ A/B at canonical shapes measured
+    the kernel at break-even-to-slightly-slower (see BertConfig docstring
+    and docs/PERFORMANCE.md). 'on' is honored only when a pallas_call is
+    actually partitionable — i.e. not under sequence sharding (GSPMD
+    cannot shard through a custom call)."""
+    return c.flash_attn == "on" and c.seq_sharding is None
+
+
 class BertSelfAttention(nn.Module):
     config: BertConfig
 
@@ -108,19 +143,58 @@ class BertSelfAttention(nn.Module):
 
         # fused QKV projection: one [H, 3H] MXU matmul instead of three
         qkv = make_dense(c.quant, 3 * H, c.dtype, "qkv")(x)
-        q, k, v = (
-            y.reshape(bs, T, nh, hd).transpose(0, 2, 1, 3)
-            for y in jnp.split(qkv, 3, axis=-1)
-        )
-        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
-                            preferred_element_type=jnp.float32)
-        scores = scores / jnp.sqrt(jnp.float32(hd)) + attn_bias
-        probs = jax.nn.softmax(scores, axis=-1)  # float32
-        probs = nn.Dropout(c.attention_probs_dropout_prob)(
-            probs, deterministic=deterministic)
-        ctx = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(c.dtype), v,
-                         preferred_element_type=jnp.float32)
-        ctx = ctx.transpose(0, 2, 1, 3).reshape(bs, T, H).astype(c.dtype)
+        q3, k3, v3 = jnp.split(qkv, 3, axis=-1)  # [bs, T, H]
+        p_rate = float(c.attention_probs_dropout_prob)
+        dropping = (not deterministic) and p_rate > 0.0
+
+        if _resolve_flash(c):
+            q, k, v = (y.reshape(bs, T, nh, hd).transpose(0, 2, 1, 3)
+                       for y in (q3, k3, v3))
+            from mimrl_tpu.ops.pallas.flash_attention import flash_attention
+
+            if dropping:
+                seed = jax.random.randint(
+                    self.make_rng("dropout"), (1,), 0, 2**31 - 1,
+                    dtype=jnp.int32)
+            else:
+                seed = jnp.zeros((1,), jnp.int32)
+            ctx = flash_attention(q, k, v, attn_bias, seed,
+                                  p_rate if dropping else 0.0)
+            ctx = ctx.transpose(0, 2, 1, 3).reshape(bs, T, H)
+        else:
+            key = self.make_rng("dropout") if dropping else None
+            fold = c.attn_fold_transpose
+
+            def core(q, k, v):
+                if fold:  # q/k/v [bs, T, nh, hd]: heads stay in place
+                    scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                                        preferred_element_type=jnp.float32)
+                else:     # q/k/v [bs, nh, T, hd]
+                    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                                        preferred_element_type=jnp.float32)
+                scores = scores / jnp.sqrt(jnp.float32(hd)) + attn_bias
+                probs = jax.nn.softmax(scores, axis=-1)  # float32
+                if key is not None:
+                    keep = jax.random.bernoulli(key, 1.0 - p_rate,
+                                                probs.shape)
+                    probs = jnp.where(keep, probs / (1.0 - p_rate), 0.0)
+                if fold:
+                    return jnp.einsum("bhqk,bkhd->bqhd",
+                                      probs.astype(c.dtype), v,
+                                      preferred_element_type=jnp.float32)
+                return jnp.einsum("bhqk,bhkd->bhqd", probs.astype(c.dtype),
+                                  v, preferred_element_type=jnp.float32)
+
+            if c.attn_remat:
+                core = jax.checkpoint(core)
+            if fold:
+                q, k, v = (y.reshape(bs, T, nh, hd) for y in (q3, k3, v3))
+                ctx = core(q, k, v).reshape(bs, T, H)
+            else:
+                q, k, v = (y.reshape(bs, T, nh, hd).transpose(0, 2, 1, 3)
+                           for y in (q3, k3, v3))
+                ctx = core(q, k, v).transpose(0, 2, 1, 3).reshape(bs, T, H)
+        ctx = ctx.astype(c.dtype)
         out = make_dense(c.quant, H, c.dtype, "output_dense")(ctx)
         out = nn.Dropout(c.hidden_dropout_prob)(out, deterministic=deterministic)
         return nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=jnp.float32,
@@ -139,7 +213,12 @@ class BertLayer(nn.Module):
         x = BertSelfAttention(c, name="attention")(x, attn_bias, deterministic)
         h = make_dense(c.quant, c.intermediate_size, c.dtype,
                        "intermediate_dense")(x)
-        h = jax.nn.gelu(h, approximate=False)
+        if c.ffn_gelu_remat:
+            # save only the pre-activation [bs, T, 4H]; the XLA default
+            # saves BOTH pre- and post-gelu tensors as residuals
+            h = jax.checkpoint(lambda t: jax.nn.gelu(t, approximate=False))(h)
+        else:
+            h = jax.nn.gelu(h, approximate=False)
         h = make_dense(c.quant, c.hidden_size, c.dtype, "output_dense")(h)
         h = nn.Dropout(c.hidden_dropout_prob)(h, deterministic=deterministic)
         return nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=jnp.float32,
@@ -161,10 +240,20 @@ class BertModel(nn.Module):
         # additive bias: 0 for valid, large negative for padding
         attn_bias = (1.0 - attention_mask[:, None, None, :].astype(jnp.float32))
         attn_bias = attn_bias * jnp.float32(-1e9)
+        if c.layer_remat == "none":
+            layer_cls = BertLayer
+        else:
+            policy = {
+                "dots": jax.checkpoint_policies.dots_saveable,
+                "full": jax.checkpoint_policies.nothing_saveable,
+            }[c.layer_remat]
+            # arg 0 is the module instance; 3 = `deterministic`
+            layer_cls = nn.remat(BertLayer, policy=policy,
+                                 static_argnums=(3,))
         for i in range(c.num_hidden_layers):
             if c.seq_sharding is not None:
                 x = jax.lax.with_sharding_constraint(x, c.seq_sharding)
-            x = BertLayer(c, name=f"layer_{i}")(x, attn_bias, deterministic)
+            x = layer_cls(c, name=f"layer_{i}")(x, attn_bias, deterministic)
         # downstream projection/W_t and summary means run in float32
         return x.astype(jnp.float32)
 

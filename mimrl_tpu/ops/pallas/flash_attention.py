@@ -1,0 +1,251 @@
+"""Fused multi-head attention kernel (scores never leave VMEM).
+
+Why this kernel exists: at MIMRL's canonical shapes (bs=128, heads=12,
+T=100, head_dim=64 — ref: the BERT tower of Model.py:430-437 at
+``--time_len 100``) the attention FLOPs are negligible (<0.5 ms/step)
+but the XLA lowering materializes the float32 score tensor
+``[bs, 12, 100, 100]`` to HBM three times per layer (scores, softmax,
+dropped probs) plus the dropout mask — measured at 9.9 ms forward /
+23.8 ms fwd+bwd across the 12 layers, ~26% of the whole train step.
+This kernel computes QK^T -> bias -> softmax -> dropout -> @V for a
+whole batch row (all heads) in one VMEM-resident program:
+
+    HBM traffic per layer = read q,k,v + write out  (the [T, T] scores,
+    probs and dropout mask live only in VMEM)
+
+Dropout uses the per-core TPU PRNG (`pltpu.prng_*`): the mask is a pure
+function of (seed, batch row), so the backward kernel REGENERATES it
+instead of storing it — residuals are just (q, k, v). The backward
+recomputes softmax the same way and emits dq, dk, dv in one program per
+batch row (flash-attention backward algebra).
+
+Semantics parity: identical math to the XLA path in
+`models/bert.py::BertSelfAttention` (f32 scores/softmax, bf16 matmul
+inputs, inverted-dropout scaling). The mask STREAM differs from flax's
+`nn.Dropout` (TPU hardware PRNG vs threefry) — same keep probability,
+different bits — which only matters for bit-reproducing a specific
+threefry run; the solver's dropout already defaults to the hardware RNG
+(`--rng_impl rbg`) for the same reason.
+
+Equality with the XLA path (deterministic mode, fwd + grads) is tested
+in interpret mode on CPU (tests/test_flash_attention.py) and the solver
+convergence suite covers the training path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _hash_bits(seed: Array, tag: int, shape) -> Array:
+    """Stateless uint32 bits for interpret mode (pltpu.prng_* has no CPU
+    lowering): a murmur3-style finalizer over (seed, tag, position).
+    Statistically fine for dropout; the TPU path uses the hardware PRNG."""
+    r = jax.lax.broadcasted_iota(jnp.uint32, shape, len(shape) - 2)
+    c = jax.lax.broadcasted_iota(jnp.uint32, shape, len(shape) - 1)
+    x = (r * jnp.uint32(0x9E3779B1) ^ c * jnp.uint32(0x85EBCA77)
+         ^ (seed.astype(jnp.uint32) + jnp.uint32(tag) * jnp.uint32(0xC2B2AE35)))
+    x = x ^ (x >> 16)
+    x = x * jnp.uint32(0x7FEB352D)
+    x = x ^ (x >> 15)
+    x = x * jnp.uint32(0x846CA68B)
+    x = x ^ (x >> 16)
+    return x
+
+
+def _dropout_bits(seed_scalar, h: int, shape, hw: bool) -> Array:
+    if hw:
+        return pltpu.prng_random_bits(shape)
+    return _hash_bits(seed_scalar, h + 1, shape)
+
+
+# --------------------------------------------------------------------------
+# forward
+# --------------------------------------------------------------------------
+
+
+def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, out_ref, *,
+                dropout_p: float, scale: float, hw_prng: bool):
+    """One program = one batch row: q/k/v [1, nh, T, hd]; bias [1, 1, 1, T]."""
+    b = pl.program_id(0)
+    nh, T = q_ref.shape[1], q_ref.shape[2]
+    row_seed = seed_ref[0] + b
+    if dropout_p > 0.0 and hw_prng:
+        pltpu.prng_seed(row_seed)
+    bias_row = bias_ref[0, 0]  # [1, T] f32
+
+    for h in range(nh):
+        q = q_ref[0, h]  # [T, hd] bf16
+        k = k_ref[0, h]
+        v = v_ref[0, h]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)  # [T, T]
+        s = s * scale + bias_row  # broadcast [1,T] over rows
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)
+        if dropout_p > 0.0:
+            bits = _dropout_bits(row_seed, h, (T, T), hw_prng)
+            keep = bits > jnp.uint32(dropout_p * 4294967296.0)
+            p = jnp.where(keep, p * (1.0 / (1.0 - dropout_p)), 0.0)
+        o = jax.lax.dot_general(
+            p.astype(q.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)  # [T, hd]
+        out_ref[0, h] = o.astype(out_ref.dtype)
+
+
+def _fwd_call(q, k, v, bias, seed, dropout_p: float):
+    bs, nh, T, hd = q.shape
+    scale = 1.0 / (hd ** 0.5)
+    kern = functools.partial(_fwd_kernel, dropout_p=dropout_p, scale=scale,
+                             hw_prng=not _interpret())
+    grid = (bs,)
+    qkv_spec = pl.BlockSpec((1, nh, T, hd), lambda b, _s: (b, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kern,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                qkv_spec, qkv_spec, qkv_spec,
+                pl.BlockSpec((1, 1, 1, T), lambda b, _s: (b, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, nh, T, hd), lambda b, _s: (b, 0, 0, 0),
+                                   memory_space=pltpu.VMEM),
+        ),
+        out_shape=jax.ShapeDtypeStruct((bs, nh, T, hd), q.dtype),
+        interpret=_interpret(),
+    )(seed, q, k, v, bias)
+
+
+# --------------------------------------------------------------------------
+# backward
+# --------------------------------------------------------------------------
+
+
+def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, do_ref,
+                dq_ref, dk_ref, dv_ref, *, dropout_p: float, scale: float,
+                hw_prng: bool):
+    b = pl.program_id(0)
+    nh, T = q_ref.shape[1], q_ref.shape[2]
+    row_seed = seed_ref[0] + b
+    if dropout_p > 0.0 and hw_prng:
+        # same seed stream as the forward -> identical masks per head
+        pltpu.prng_seed(row_seed)
+    bias_row = bias_ref[0, 0]
+
+    for h in range(nh):
+        q = q_ref[0, h]
+        k = k_ref[0, h]
+        v = v_ref[0, h]
+        do = do_ref[0, h].astype(jnp.float32)  # [T, hd]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        s = s * scale + bias_row
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)  # [T, T] f32
+        if dropout_p > 0.0:
+            bits = _dropout_bits(row_seed, h, (T, T), hw_prng)
+            keep = bits > jnp.uint32(dropout_p * 4294967296.0)
+            inv = 1.0 / (1.0 - dropout_p)
+            pd = jnp.where(keep, p * inv, 0.0)
+        else:
+            pd = p
+        # dV = Pd^T @ dO   (contract over query rows)
+        dv = jax.lax.dot_general(
+            pd.astype(q.dtype), do.astype(q.dtype), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        # dPd = dO @ V^T
+        dpd = jax.lax.dot_general(
+            do.astype(q.dtype), v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)  # [T, T]
+        if dropout_p > 0.0:
+            dp = jnp.where(keep, dpd * inv, 0.0)
+        else:
+            dp = dpd
+        # dS = P * (dP - rowsum(dP * P))
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        ds = (ds * scale).astype(q.dtype)
+        dq = jax.lax.dot_general(
+            ds, k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dk = jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dq_ref[0, h] = dq.astype(dq_ref.dtype)
+        dk_ref[0, h] = dk.astype(dk_ref.dtype)
+        dv_ref[0, h] = dv.astype(dv_ref.dtype)
+
+
+def _bwd_call(q, k, v, bias, seed, do, dropout_p: float):
+    bs, nh, T, hd = q.shape
+    scale = 1.0 / (hd ** 0.5)
+    kern = functools.partial(_bwd_kernel, dropout_p=dropout_p, scale=scale,
+                             hw_prng=not _interpret())
+    qkv_spec = pl.BlockSpec((1, nh, T, hd), lambda b, _s: (b, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+    shp = jax.ShapeDtypeStruct((bs, nh, T, hd), q.dtype)
+    return pl.pallas_call(
+        kern,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(bs,),
+            in_specs=[
+                qkv_spec, qkv_spec, qkv_spec,
+                pl.BlockSpec((1, 1, 1, T), lambda b, _s: (b, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                qkv_spec,
+            ],
+            out_specs=(qkv_spec, qkv_spec, qkv_spec),
+        ),
+        out_shape=(shp, shp, shp),
+        interpret=_interpret(),
+    )(seed, q, k, v, bias, do)
+
+
+# --------------------------------------------------------------------------
+# public op
+# --------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def flash_attention(q: Array, k: Array, v: Array, bias: Array, seed: Array,
+                    dropout_p: float = 0.0) -> Array:
+    """Fused attention: softmax(q @ k^T * hd^-0.5 + bias) [dropout] @ v.
+
+    q, k, v: [bs, nh, T, hd] (bf16 or f32). bias: [bs, 1, 1, T] f32
+    additive key bias (0 valid / -1e9 padding). seed: [1] int32 — dropout
+    PRNG seed; ignored when dropout_p == 0. Scores and softmax run in
+    f32 and never touch HBM.
+    """
+    return _fwd_call(q, k, v, bias, seed, dropout_p)
+
+
+def _fa_fwd(q, k, v, bias, seed, dropout_p):
+    return _fwd_call(q, k, v, bias, seed, dropout_p), (q, k, v, bias, seed)
+
+
+def _fa_bwd(dropout_p, res, g):
+    q, k, v, bias, seed = res
+    dq, dk, dv = _bwd_call(q, k, v, bias, seed, g.astype(q.dtype), dropout_p)
+    return (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype),
+            jnp.zeros_like(bias), jnp.zeros_like(seed))
+
+
+flash_attention.defvjp(_fa_fwd, _fa_bwd)

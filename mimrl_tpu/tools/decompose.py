@@ -93,6 +93,10 @@ def main():
 
     res = {}
 
+    # snapshot the BERT subtree BEFORE train_step donates its buffers
+    bparams = jax.tree_util.tree_map(lambda x: x.copy(),
+                                     params["bertmodel"])
+
     # full train_step (donates params/opt/new_bank -> re-feed outputs)
     out = steps.train_step(p_main, p_bert, p_vmi, oms, batch, labels,
                            bank, new_bank, 0, rng, use_mi=True)
@@ -158,7 +162,6 @@ def main():
     # BERT tower alone: fwd and fwd+bwd (train-mode dropout)
     from mimrl_tpu.models.bert import BertModel
     bert = BertModel(config=model.bert_config)
-    bparams = params["bertmodel"]
 
     @jax.jit
     def bert_fwd(p, rng):

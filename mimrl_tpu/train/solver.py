@@ -73,6 +73,7 @@ class Solver:
             dtype=jnp.bfloat16 if opt.compute_dtype == "bfloat16"
             else jnp.float32,
             quant=opt.quant,
+            flash_attn=opt.flash_attn,
         )
         self.model = MimrlModel(
             d_t=self.d_t, d_a=self.d_a, d_v=self.d_v, d_common=opt.d_common,
