@@ -114,8 +114,13 @@ def param_sharding_rule(mesh: Mesh, min_size: int = 2048):
                     and x.ndim >= 2 and x.shape[0] % n_model == 0):
                 return NamedSharding(
                     mesh, P(MODEL_AXIS, *([None] * (x.ndim - 1))))
+            # Embedding tables stay replicated: they are consumed by
+            # gathers, not matmuls, and a hidden-sharded table forces
+            # GSPMD to replicate-then-repartition every lookup
+            # ("involuntary full rematerialization" in the dryrun).
             if (x.ndim == 2 and x.shape[1] % n_model == 0
-                    and x.size >= min_size):
+                    and x.size >= min_size
+                    and not path_str.endswith("embedding")):
                 return NamedSharding(mesh, P(None, MODEL_AXIS))
         return NamedSharding(mesh, P())
 
