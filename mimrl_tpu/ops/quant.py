@@ -26,6 +26,13 @@ names/shapes/init, so checkpoints and the name-based optimizer partition
 (train/optim.py) are unchanged and the mode can be flipped between runs
 of the same task.
 
+Kernel routing: by default the s8 x s8 contraction goes through XLA
+`dot_general` (measured at only ~1.0-1.1x the bf16 rate on the v5e at
+BERT shapes — see docs/PERFORMANCE.md). Set MIMRL_INT8_PALLAS=1 to route
+shapes the hand-tiled Mosaic kernel supports through
+`ops/pallas/int8_matmul.py` (fused dequant epilogue, no s32 HBM
+round-trip); `tools/microbench_gemm.py` measures both paths.
+
 No reference counterpart (the reference trains f32 throughout); this is
 TPU-native perf work toward the >=10x BASELINE.md north star.
 """
@@ -33,6 +40,7 @@ TPU-native perf work toward the >=10x BASELINE.md north star.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Any
 
 import flax.linen as nn
@@ -53,11 +61,30 @@ def _quantize(x: Array, axis: int):
     return q.astype(jnp.int8), scale
 
 
+def _use_pallas() -> bool:
+    """Trace-time knob: route supported int8 GEMMs through the Mosaic
+    kernel (ops/pallas/int8_matmul.py) instead of XLA dot_general."""
+    return os.environ.get("MIMRL_INT8_PALLAS", "0") == "1"
+
+
 def _int8_matmul(x: Array, w: Array, out_dtype) -> Array:
     """x [..., K] @ w [K, N] through the int8 MXU path.
     Per-row scales for x, per-column scales for w."""
     qx, sx = _quantize(x, axis=-1)          # sx [..., 1]
     qw, sw = _quantize(w, axis=0)           # sw [1, N]
+    if _use_pallas():
+        from mimrl_tpu.ops.pallas.int8_matmul import int8_matmul, supports
+
+        lead = qx.shape[:-1]
+        m = 1
+        for d in lead:
+            m *= d
+        k, n = qw.shape
+        if supports(m, k, n):
+            out = int8_matmul(qx.reshape(m, k), qw,
+                              sx.reshape(m, 1), sw.reshape(1, n),
+                              out_dtype=out_dtype)
+            return out.reshape(*lead, n)
     acc = jax.lax.dot_general(
         qx, qw, (((qx.ndim - 1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32)

@@ -95,3 +95,70 @@ def test_fused_kernel_differentiable():
     r1, r2 = jax.grad(f_ref, argnums=(0, 1))(w1, w2)
     assert np.allclose(np.asarray(g1), np.asarray(r1), atol=1e-4)
     assert np.allclose(np.asarray(g2), np.asarray(r2), atol=1e-4)
+
+
+def test_int8_matmul_kernel_matches_xla():
+    """Pallas int8 GEMM (interpret mode): s8 x s8 -> s32 with fused
+    per-row/per-col dequant epilogue must match the XLA dot_general
+    reference path bit-for-bit in f32 (same accumulate order per tile)."""
+    from mimrl_tpu.ops.pallas.int8_matmul import int8_matmul
+
+    rng = np.random.default_rng(0)
+    m, k, n = 64, 48, 96
+    a = jnp.asarray(rng.integers(-127, 128, size=(m, k)), jnp.int8)
+    b = jnp.asarray(rng.integers(-127, 128, size=(k, n)), jnp.int8)
+    sa = jnp.asarray(rng.uniform(0.001, 0.02, size=(m, 1)), jnp.float32)
+    sb = jnp.asarray(rng.uniform(0.001, 0.02, size=(1, n)), jnp.float32)
+
+    out = int8_matmul(a, b, sa, sb, block_m=32, block_n=32,
+                      out_dtype=jnp.float32, interpret=True)
+    ref = (jax.lax.dot_general(
+        a, b, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32).astype(jnp.float32) * sa * sb)
+    assert out.dtype == jnp.float32
+    assert np.array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_int8_matmul_kernel_bf16_output():
+    """bf16 output path: epilogue rounds once to bf16 (<=0.5% relerr)."""
+    from mimrl_tpu.ops.pallas.int8_matmul import int8_matmul
+
+    rng = np.random.default_rng(1)
+    m, k, n = 32, 32, 64
+    a = jnp.asarray(rng.integers(-127, 128, size=(m, k)), jnp.int8)
+    b = jnp.asarray(rng.integers(-127, 128, size=(k, n)), jnp.int8)
+    sa = jnp.full((m, 1), 0.01, jnp.float32)
+    sb = jnp.full((1, n), 0.02, jnp.float32)
+    out = int8_matmul(a, b, sa, sb, block_m=32, block_n=32,
+                      out_dtype=jnp.bfloat16, interpret=True)
+    ref = (jax.lax.dot_general(
+        a, b, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32).astype(jnp.float32) * sa * sb)
+    rel = np.abs(np.asarray(out, np.float32) - np.asarray(ref)) / (
+        np.abs(np.asarray(ref)) + 1e-6)
+    assert float(rel.max()) < 0.005
+
+
+def test_quant_int8_pallas_routing(monkeypatch):
+    """MIMRL_INT8_PALLAS=1 routes supported shapes through the Mosaic
+    kernel; result must match the XLA dot_general path bit-for-bit
+    (same int32 accumulate, same epilogue math)."""
+    import functools as ft
+
+    from mimrl_tpu.ops import quant
+    from mimrl_tpu.ops.pallas import int8_matmul as kmod
+
+    assert kmod.supports(64, 128, 256)
+    assert not kmod.supports(64, 100, 256)   # K not 128-multiple
+    assert not kmod.supports(63, 128, 256)   # M has no 32-multiple tile
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 32, 128))
+    w = jax.random.normal(jax.random.PRNGKey(1), (128, 256)) * 0.1
+    ref = quant._int8_matmul(x, w, jnp.float32)
+
+    monkeypatch.setenv("MIMRL_INT8_PALLAS", "1")
+    monkeypatch.setattr(kmod, "int8_matmul",
+                        ft.partial(kmod.int8_matmul, interpret=True))
+    out = quant._int8_matmul(x, w, jnp.float32)
+    assert out.shape == ref.shape
+    assert np.array_equal(np.asarray(out), np.asarray(ref))
