@@ -34,6 +34,8 @@ class MimrlConfig:
     video: str = "facet41"
     batch_size: int = 16
     num_workers: int = 4
+    # torch-DataLoader knobs accepted for CLI parity (ref:
+    # Parameters.py); no-ops here — batches are static device arrays
     persistent_workers: bool = False
     pin_memory: bool = False
     drop_last: bool = False
@@ -86,8 +88,10 @@ class MimrlConfig:
     save_best_features: bool = False
     print_params: bool = False
     check_gradient: bool = False
+    # accepted for CLI parity; no-ops on TPU (the reference's de-facto
+    # mandatory DataParallel flag and CUDA id string, ref: Parameters.py)
     parallel: bool = False
-    cuda: str = "0"  # accepted for CLI parity; ignored on TPU
+    cuda: str = "0"
 
     # --- TPU-native extensions (new in mimrl_tpu) ---
     mesh_data: int = -1  # -1 = all visible devices on the data axis
