@@ -77,3 +77,55 @@ def test_bf16_close_to_f32(hf_pair):
     assert y16.dtype == np.float32  # output cast back
     rel = np.abs(y32 - y16).mean() / (np.abs(y32).mean() + 1e-9)
     assert rel < 0.05, rel
+
+
+@pytest.mark.parametrize("knobs", [
+    dict(attn_fold_transpose=True),
+    dict(ffn_gelu_remat=True),
+    dict(attn_remat=True),
+    dict(layer_remat="dots"),
+    dict(layer_remat="full"),
+    dict(attn_fold_transpose=True, layer_remat="dots",
+         ffn_gelu_remat=True),
+])
+def test_perf_knobs_preserve_forward_and_grads(knobs):
+    """The layout/remat perf knobs (BENCH_ATTN_FOLD / BENCH_*_REMAT in
+    __graft_entry__._build) must be pure performance knobs: identical
+    forward values and parameter gradients vs the default path."""
+    base = BertConfig(vocab_size=53, hidden_size=16, num_hidden_layers=2,
+                      num_attention_heads=2, intermediate_size=32,
+                      max_position_embeddings=32)
+    tuned = base.replace(**knobs) if hasattr(base, "replace") else None
+    if tuned is None:
+        import dataclasses
+        tuned = dataclasses.replace(base, **knobs)
+
+    rng = np.random.default_rng(3)
+    ids = jnp.asarray(rng.integers(0, 53, (2, 12)), jnp.int32)
+    types = jnp.zeros((2, 12), jnp.int32)
+    mask_np = np.ones((2, 12), np.int32)
+    mask_np[1, 8:] = 0
+    mask = jnp.asarray(mask_np)
+
+    variables = BertModel(base).init(
+        {"params": jax.random.PRNGKey(0)}, ids, types, mask,
+        deterministic=True)
+
+    def loss(cfg):
+        def f(params):
+            out = BertModel(cfg).apply({"params": params}, ids, types,
+                                       mask, deterministic=True)
+            return jnp.sum(out ** 2)
+        return f
+
+    f_base, f_tuned = loss(base), loss(tuned)
+    v_base, g_base = jax.value_and_grad(f_base)(variables["params"])
+    v_tuned, g_tuned = jax.value_and_grad(f_tuned)(variables["params"])
+    assert np.allclose(float(v_base), float(v_tuned), rtol=1e-6)
+    flat_b = jax.tree_util.tree_leaves_with_path(g_base)
+    flat_t = dict(jax.tree_util.tree_leaves_with_path(g_tuned))
+    for path, leaf in flat_b:
+        other = flat_t[path]
+        assert np.allclose(np.asarray(leaf), np.asarray(other),
+                           atol=1e-5), (path,
+                                        np.abs(leaf - other).max())
