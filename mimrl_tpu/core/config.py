@@ -152,6 +152,11 @@ class MimrlConfig:
     task_dir: str = "./TaskRuning"  # run dir root [sic spelling, ref: Solver.py:108]
     jit_backend: Optional[str] = None  # force a jax platform (tests use 'cpu')
     bank_dtype: str = "float32"
+    # Adam first-moment / SGD momentum accumulator dtype. bfloat16 cuts
+    # the optimizer's HBM traffic (the update step is bandwidth-bound:
+    # it streams params + grads + moments); second moments stay float32
+    # (they need the precision near convergence).
+    moment_dtype: str = "float32"
     profile_dir: Optional[str] = None  # jax.profiler trace output dir
     # perf mode: compute stage-1 features once per batch and reuse them
     # across the stage1_n critic passes (the model is frozen in stage 1,
@@ -220,6 +225,8 @@ class MimrlConfig:
         check(self.rng_impl, "rng_impl", ("rbg", "threefry"))
         check(self.flash_attn, "flash_attn", ("auto", "on", "off"))
         check(self.quant, "quant", ("none", "int8_fwd", "int8", "int8_all"))
+        check(self.bank_dtype, "bank_dtype", ("float32", "bfloat16"))
+        check(self.moment_dtype, "moment_dtype", ("float32", "bfloat16"))
         check(self.ckpt_backend, "ckpt_backend", ("msgpack", "orbax"))
         assert not (self.seq_shard and self.mesh_pipe > 1), (
             "--seq_shard and --mesh_pipe are mutually exclusive: the "
@@ -369,6 +376,7 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--task_dir", default=d.task_dir, type=str)
     p.add_argument("--jit_backend", default=None, type=str)
     p.add_argument("--bank_dtype", default=d.bank_dtype, type=str)
+    p.add_argument("--moment_dtype", default=d.moment_dtype, type=str)
     p.add_argument("--profile_dir", default=None, type=str)
     p.add_argument("--fast_stage1", action="store_true")
     p.add_argument("--distributed", action="store_true")

@@ -102,10 +102,17 @@ def _scale_by_tree(scale_tree):
 
 
 def _base_opt(cfg: MimrlConfig):
+    # --moment_dtype bfloat16: first moment / momentum accumulator in
+    # bf16 (second moment stays f32). The update step is HBM-bound, so
+    # shrinking the streamed state is a direct bandwidth win.
+    mu_dtype = (jnp.bfloat16 if getattr(cfg, "moment_dtype", "float32")
+                == "bfloat16" else None)
     if cfg.optm == "Adam":
-        return optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8)
+        return optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8,
+                                   mu_dtype=mu_dtype)
     if cfg.optm == "SGD":
-        return optax.trace(decay=0.9)  # momentum 0.9 (ref: Solver.py:148)
+        # momentum 0.9 (ref: Solver.py:148)
+        return optax.trace(decay=0.9, accumulator_dtype=mu_dtype)
     if cfg.optm == "SAM":
         # accepted by the parser, rejected by the solver (ref: Solver.py:150)
         raise NotImplementedError(

@@ -133,3 +133,37 @@ def test_lr_schedules():
     assert s.step(1.5) == 1.0   # bad 1
     assert s.step(1.5) == 0.1   # bad 2 > patience 1 -> decay
     assert s.step(0.5) == 0.1   # improvement resets
+
+
+@pytest.mark.parametrize("optm", ["Adam", "SGD"])
+def test_moment_dtype_bfloat16(optm):
+    """--moment_dtype bfloat16 stores the first moment / momentum
+    accumulator in bf16 (second moment stays f32) and still optimizes:
+    a quadratic descends under repeated updates."""
+    params = _toy_params()
+    p_main, p_bert, p_vmi = partition_params(params)
+    cfg = MimrlConfig(optm=optm, moment_dtype="bfloat16",
+                      learning_rate=0.1, gradient_clip=0.0)
+    opt = make_main_optimizer(cfg, p_main, p_bert)
+    merged = merge_params(p_main, p_bert)
+    state = opt.init(merged)
+
+    leaves = jax.tree_util.tree_leaves(
+        state, is_leaf=lambda x: isinstance(x, jnp.ndarray))
+    dtypes = {jnp.dtype(l.dtype) for l in leaves
+              if hasattr(l, "dtype") and l.ndim == 2}
+    assert jnp.dtype(jnp.bfloat16) in dtypes
+    if optm == "Adam":  # nu must stay f32
+        assert jnp.dtype(jnp.float32) in dtypes
+
+    def loss_fn(p):
+        return sum(jnp.sum(l ** 2)
+                   for l in jax.tree_util.tree_leaves(p)) / 2.0
+
+    p = merged
+    first = float(loss_fn(p))
+    for _ in range(25):
+        g = jax.grad(loss_fn)(p)
+        upd, state = opt.update(g, state, p)
+        p = optax.apply_updates(p, upd)
+    assert float(loss_fn(p)) < first * 0.5
