@@ -36,7 +36,12 @@ gather); this isolates the main architectural win honestly.
 
 Env overrides: BENCH_BS, BENCH_TIME_LEN, BENCH_STEPS, BENCH_BERT_LAYERS,
 BENCH_SKIP_BASELINE=1, BENCH_SKIP_DEFAULT=1 (skip the default-semantics
-window), BENCH_EPOCH_SCAN=0 (per-batch headline), BENCH_QUANT
+window), BENCH_EPOCH_SCAN=0 (per-batch headline), BENCH_STAGE1_CACHED=0
+(fresh stage-1 forwards in the scanned window), BENCH_RNG_IMPL,
+BENCH_FUSED_EST=0, BENCH_MOMENT_DTYPE=bfloat16 (bf16 optimizer moments),
+BENCH_ATTN_FOLD / BENCH_GELU_REMAT / BENCH_ATTN_REMAT /
+BENCH_LAYER_REMAT / BENCH_FLASH_ATTN (BERT layout/remat knobs,
+value- and grad-preserving — tests/test_bert.py), BENCH_QUANT
 (none|int8_fwd|int8|int8_all, default none — int8 MXU matmuls for the
 BERT dense GEMMs measured slower end-to-end at canonical shapes on v5e,
 see docs/PERFORMANCE.md; the synthetic convergence suite guards metric
