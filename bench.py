@@ -45,7 +45,11 @@ value- and grad-preserving — tests/test_bert.py), BENCH_QUANT
 (none|int8_fwd|int8|int8_all, default none — int8 MXU matmuls for the
 BERT dense GEMMs measured slower end-to-end at canonical shapes on v5e,
 see docs/PERFORMANCE.md; the synthetic convergence suite guards metric
-parity, tests/test_solver_variants.py::test_quant_int8_converges).
+parity, tests/test_solver_variants.py::test_quant_int8_converges),
+BENCH_BASELINE_DTYPE=float32 (run the baseline window at the
+reference's own plain-f32 numerics instead of inheriting our bf16
+mixed precision; default inherits BENCH_DTYPE — conservative, in the
+reference's favor).
 """
 
 from __future__ import annotations
@@ -238,10 +242,17 @@ def main():
         # only the reference's sequential execution order. (This is
         # exactly the round-1 baseline semantics, which predate the
         # fusion.)
+        #
+        # BENCH_BASELINE_DTYPE=float32 measures the baseline at the
+        # reference's own numerics (the reference is plain-f32 torch, no
+        # AMP anywhere) — the default keeps round-1 semantics: the
+        # baseline inherits our bf16 mixed precision, i.e. it is
+        # CONSERVATIVE in the reference's favor.
+        base_dtype = os.environ.get("BENCH_BASELINE_DTYPE", dtype)
         _, model_base = _build(bs, time_len, d_a, d_v, d_common=d_common,
                                bert_layers=bert_layers, bert_hidden=768,
                                bert_heads=12, cube_l=50,
-                               compute_dtype=dtype, quant=quant,
+                               compute_dtype=base_dtype, quant=quant,
                                fused_estimators=False)
         steps_base = StepFactory(model_base, cfg, opt_main, opt_vmi)
 
@@ -310,6 +321,7 @@ def main():
         "unit": "samples/sec",
         "vs_baseline": round(vs_baseline, 3) if vs_baseline else None,
         "quant": quant,
+        "baseline_dtype": os.environ.get("BENCH_BASELINE_DTYPE", dtype),
         "value_default_semantics":
             round(default_sps, 2) if default_sps else None,
         "vs_baseline_default_semantics":

@@ -99,6 +99,7 @@ def test_skip_nonfinite_updates_guards_params():
     assert changed  # garbage update applied without the guard
 
 
+@pytest.mark.slow
 def test_guard_covers_critic_paths():
     """The guard must also protect the critic updates (per-batch AND
     epoch-scan stage-1 bodies): poisoned features -> critic params

@@ -62,8 +62,9 @@ def _features_and_knn(seed=0):
 
 @pytest.mark.parametrize("bound_type,baseline_type", [
     ("infonce", "constant"),
-    ("nwj", "constant"),
-    ("tuba", "unnormalized"),   # exercises the vmapped BaselineModel MLP
+    pytest.param("nwj", "constant", marks=pytest.mark.slow),
+    # tuba/unnormalized exercises the vmapped BaselineModel MLP
+    pytest.param("tuba", "unnormalized", marks=pytest.mark.slow),
 ])
 def test_fused_matches_sequential(bound_type, baseline_type):
     seq, fused = model_pair(bound_type=bound_type,
@@ -87,6 +88,7 @@ def test_fused_matches_sequential(bound_type, baseline_type):
                                    rtol=2e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_fused_gradients_match_sequential():
     """Gradients wrt the estimator params must flow back identically
     through the per-call stack."""
@@ -112,6 +114,7 @@ def test_fused_gradients_match_sequential():
             err_msg=jax.tree_util.keystr(path))
 
 
+@pytest.mark.slow
 def test_club_falls_back_to_sequential():
     """The CLUB bound uses a structurally different critic; fused mode
     must transparently fall back and still work."""

@@ -4,6 +4,7 @@ shape contract, and expert-parallel sharding equivalence."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from mimrl_tpu.models.fusion import MoEFusion, _MoEBlock
@@ -57,6 +58,7 @@ def test_moe_block_gates_topk():
     np.testing.assert_allclose(np.asarray(g_uni.sum(-1)), 1.0, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_moe_grads_finite_and_router_trained():
     x = _x()
     model = MoEFusion(d_model=16, time_len=6, num_layers=1, num_heads=2,
@@ -107,6 +109,7 @@ def test_moe_expert_weights_get_ep_sharding():
     assert router.sharding.spec == P() or router.sharding.spec[0] is None
 
 
+@pytest.mark.slow
 def test_moe_through_mimrl_model():
     """--fusion moe end-to-end through MimrlModel forward + stage losses."""
     import __graft_entry__ as ge

@@ -155,6 +155,7 @@ def test_pipelined_bert_grads_match():
             rtol=5e-3, err_msg=jax.tree_util.keystr(path))
 
 
+@pytest.mark.slow
 def test_pipelined_bert_dropout_runs():
     """Non-deterministic mode must run (per-stage folded rngs) and give
     finite, input-dependent outputs."""

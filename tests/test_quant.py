@@ -127,6 +127,7 @@ def test_bert_quant_output_close_and_params_shared():
     assert err < 0.05, err
 
 
+@pytest.mark.slow
 def test_bert_quant_grads_flow():
     cfg = BertConfig(**{**BertConfig.tiny().__dict__, "quant": "int8_all"})
     ids = jnp.zeros((2, 16), jnp.int32).at[:, :8].set(5)
