@@ -138,6 +138,10 @@ class MimrlConfig:
     # _all_estimates_fused). On by default; --unfused_estimators to
     # debug/compare against the sequential execution order.
     fused_estimators: bool = True
+    # run the A and V recurrent towers as one fused scan per layer
+    # (models/encoders.py::run_bidir_pair); --unfused_av_scan reverts to
+    # the two sequential chains
+    fused_av_scan: bool = True
     data_dir: Optional[str] = None  # overrides dataset root paths
     bert_vocab: Optional[str] = None  # path to a WordPiece vocab.txt
     bert_weights: Optional[str] = None  # path to pretrained BERT weights (.msgpack/.npz)
@@ -364,6 +368,8 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--flash_attn", default=d.flash_attn, type=str,
                    choices=["auto", "on", "off"])
     p.add_argument("--unfused_estimators", dest="fused_estimators",
+                   action="store_false")
+    p.add_argument("--unfused_av_scan", dest="fused_av_scan",
                    action="store_false")
     p.add_argument("--data_dir", default=None, type=str)
     p.add_argument("--bert_vocab", default=None, type=str)

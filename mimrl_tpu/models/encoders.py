@@ -76,11 +76,12 @@ def _fused_bidir_scan(cell: str, H: int, x_proj: Array, w_hh: Array,
                       b_hh: Array, mask: Array):
     """One fused forward+backward recurrent scan.
 
-    x_proj: [T, 2, bs, G*H] (input projections; index 1 = direction, with
-    direction 1 already time-reversed). w_hh: [2, H, G*H]. b_hh: [2, G*H].
-    mask: [T, 2, bs, 1]. Returns outputs [T, 2, bs, H] (direction 1 still
-    reversed in time)."""
-    bs = x_proj.shape[2]
+    x_proj: [T, D, bs, G*H] (input projections; D = direction slots, odd
+    slots already time-reversed). w_hh: [D, H, G*H]. b_hh: [D, G*H].
+    mask: [T, D, bs, 1]. Returns outputs [T, D, bs, H] (odd slots still
+    reversed in time). D is 2 for one encoder, 4 when two same-config
+    encoders are fused into one scan (run_bidir_pair)."""
+    D, bs = x_proj.shape[1], x_proj.shape[2]
 
     def recur(h):
         return (
@@ -102,7 +103,7 @@ def _fused_bidir_scan(cell: str, H: int, x_proj: Array, w_hh: Array,
             h = jnp.where(mt > 0, h_new, h)
             return h, h * (mt > 0)
 
-        h0 = jnp.zeros((2, bs, H), x_proj.dtype)
+        h0 = jnp.zeros((D, bs, H), x_proj.dtype)
         # unroll amortizes per-iteration scan overhead over the tiny
         # recurrent matmuls (the serial chain is the bottleneck, not FLOPs)
         _, out = jax.lax.scan(step, h0, (x_proj, mask), unroll=4)
@@ -125,7 +126,7 @@ def _fused_bidir_scan(cell: str, H: int, x_proj: Array, w_hh: Array,
         c = jnp.where(valid, c_new, c)
         return (h, c), h * valid
 
-    h0 = jnp.zeros((2, bs, H), x_proj.dtype)
+    h0 = jnp.zeros((D, bs, H), x_proj.dtype)
     _, out = jax.lax.scan(lstm_step, (h0, h0), (x_proj, mask), unroll=4)
     return out
 
@@ -174,6 +175,77 @@ class BiRnnEncoder(nn.Module):
             last = layer == self.num_layers - 1
             x = fwd + bwd if last else jnp.concatenate([fwd, bwd], axis=-1)
         return x
+
+
+def run_bidir_pair(cell: str, hidden: int, num_layers: int,
+                   params_a, params_b, x_a: Array, mask_a: Array,
+                   x_b: Array, mask_b: Array):
+    """Execute TWO same-config BiRnnEncoders (e.g. the audio and video
+    towers) as ONE fused scan per layer.
+
+    The two encoders' recurrent chains are independent, but `lax.scan`
+    chains serialize on the single TPU core — so running them as
+    separate modules costs 2x the serial latency for no reason. Here the
+    direction axis of `_fused_bidir_scan` carries FOUR slots
+    [a_fwd, a_bwd, b_fwd, b_bwd]: one sequential chain per layer instead
+    of two, with each slot an independent [bs,H]x[H,G*H] matmul — the
+    same math as the separate calls (equality: tests/test_encoders.py::
+    test_run_bidir_pair_matches_separate).
+
+    `params_a`/`params_b` are the encoders' param subtrees
+    (``rnn_a``/``rnn_v`` under the model), laid out exactly as
+    BiRnnEncoder creates them; input projections stay per-modality
+    (their d_in differ). Returns (out_a, out_b), each [bs, T, H]."""
+    H = hidden
+    n_gates = 3 if cell == "gru" else 4
+    del n_gates  # layout comes from the stored params
+
+    def dir_masks(mask):
+        m_f = jnp.swapaxes(mask, 0, 1)[..., None]  # [T, bs, 1]
+        return m_f, m_f[::-1]
+
+    ma_f, ma_b = dir_masks(mask_a)
+    mb_f, mb_b = dir_masks(mask_b)
+    m = jnp.stack([ma_f, ma_b, mb_f, mb_b], axis=1)  # [T, 4, bs, 1]
+
+    def proj(x, pf, pb):
+        """Hoisted input projections for one modality's two directions;
+        identical formulation to BiRnnEncoder.__call__."""
+        w_ih = jnp.stack([pf["w_ih"], pb["w_ih"]])  # [2, d_in, G*H]
+        b_ih = jnp.stack([pf["b_ih"], pb["b_ih"]])  # [2, G*H]
+        xp = (
+            jnp.einsum("btd,zdg->btzg", x, w_ih,
+                       preferred_element_type=jnp.float32)
+            + b_ih[None, None]
+        )  # [bs, T, 2, G*H]
+        xp = jnp.moveaxis(xp, 0, 2)  # [T, 2, bs, G*H]
+        return xp.at[:, 1].set(xp[::-1, 1])  # reverse time for bwd dir
+
+    for layer in range(num_layers):
+        paf = params_a[f"l{layer}_fwd"]
+        pab = params_a[f"l{layer}_bwd"]
+        pbf = params_b[f"l{layer}_fwd"]
+        pbb = params_b[f"l{layer}_bwd"]
+
+        xp = jnp.concatenate([proj(x_a, paf, pab), proj(x_b, pbf, pbb)],
+                             axis=1)  # [T, 4, bs, G*H]
+        w_hh = jnp.stack([paf["w_hh"], pab["w_hh"],
+                          pbf["w_hh"], pbb["w_hh"]])  # [4, H, G*H]
+        b_hh = jnp.stack([paf["b_hh"], pab["b_hh"],
+                          pbf["b_hh"], pbb["b_hh"]])
+
+        out = _fused_bidir_scan(cell, H, xp, w_hh, b_hh, m)
+        last = layer == num_layers - 1
+
+        def combine(fwd_col, bwd_col):
+            fwd = jnp.swapaxes(out[:, fwd_col], 0, 1)  # [bs, T, H]
+            bwd = jnp.swapaxes(out[::-1, bwd_col], 0, 1)
+            return (fwd + bwd if last
+                    else jnp.concatenate([fwd, bwd], axis=-1))
+
+        x_a = combine(0, 1)
+        x_b = combine(2, 3)
+    return x_a, x_b
 
 
 class ConvEncoder(nn.Module):

@@ -39,6 +39,7 @@ from mimrl_tpu.models.fusion import MoEFusion, TFNFusion, TransformerFusion
 from mimrl_tpu.models.encoders import (
     BiRnnEncoder,
     ConvEncoder,
+    run_bidir_pair,
     lengths_from_sequence,
     prefix_mask,
 )
@@ -102,6 +103,10 @@ class MimrlModel(nn.Module):
     # params, identical math/param-names; ~130 tiny GEMMs -> ~12 batched
     # ones). Falls back to sequential for the CLUB bound and during init.
     fused_estimators: bool = False
+    # run the audio and video recurrent towers as ONE fused scan per
+    # layer (4 direction slots) instead of two sequential scan chains;
+    # identical math/params (tests/test_encoders.py, test_model.py)
+    fused_av_scan: bool = False
     # fusion encoder family: 'cubemlp' (reference parity) |
     # 'transformer' | 'tfn' (README.md:13 calls the fusion replaceable)
     fusion: str = "cubemlp"
@@ -260,8 +265,19 @@ class MimrlModel(nn.Module):
             a = jax.nn.relu(self.ln_a(a))
             v = jax.nn.relu(self.ln_v(v))
         else:
-            a = self.rnn_a(a, mask_a)
-            v = self.rnn_v(v, mask_v)
+            if self.fused_av_scan and not self.is_initializing():
+                # one fused scan chain per layer for BOTH towers (the
+                # two recurrences are independent but scans serialize on
+                # the core); params read from the rnn_a/rnn_v subtrees,
+                # math identical to the separate calls
+                a, v = run_bidir_pair(
+                    self.encoders, self.d_common, self.rnn_a.num_layers,
+                    self.rnn_a.variables["params"],
+                    self.rnn_v.variables["params"],
+                    a, mask_a, v, mask_v)
+            else:
+                a = self.rnn_a(a, mask_a)
+                v = self.rnn_v(v, mask_v)
             a = jax.nn.relu(self.ln_a(a))
             v = jax.nn.relu(self.ln_v(v))
 

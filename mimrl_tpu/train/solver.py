@@ -92,6 +92,7 @@ class Solver:
             radius=opt.radius, cmi_last_acticate=opt.cmi_last_acticate,
             use_pallas=opt.use_pallas,
             fused_estimators=opt.fused_estimators,
+            fused_av_scan=opt.fused_av_scan,
             fusion=opt.fusion, fusion_layers=opt.fusion_layers,
             fusion_heads=opt.fusion_heads,
             moe_experts=opt.moe_experts, moe_topk=opt.moe_topk,

@@ -132,3 +132,66 @@ def test_conv_encoder_matches_torch_conv1d():
     with torch.no_grad():
         y_torch = conv(torch.tensor(x_np).transpose(1, 2)).transpose(1, 2).numpy()
     assert np.allclose(y_ours, y_torch, atol=1e-5)
+
+
+@pytest.mark.parametrize("cell,num_layers", [("gru", 2), ("lstm", 1)])
+def test_run_bidir_pair_matches_separate(cell, num_layers):
+    """The fused two-tower scan (run_bidir_pair) must equal the two
+    separate BiRnnEncoder applies — same params, same masks."""
+    from mimrl_tpu.models.encoders import run_bidir_pair
+
+    H, T, bs, d_a, d_v = 8, 7, 3, 5, 4
+    enc_a = BiRnnEncoder(cell, H, num_layers)
+    enc_v = BiRnnEncoder(cell, H, num_layers)
+    ka, kv, kx = jax.random.split(jax.random.PRNGKey(0), 3)
+    x_a = jax.random.normal(kx, (bs, T, d_a))
+    x_v = jax.random.normal(jax.random.fold_in(kx, 1), (bs, T, d_v))
+    mask_a = prefix_mask(jnp.asarray([T, 3, 1]), T)
+    mask_v = prefix_mask(jnp.asarray([2, T, 4]), T)
+    pa = enc_a.init(ka, x_a, mask_a)["params"]
+    pv = enc_v.init(kv, x_v, mask_v)["params"]
+
+    ya = enc_a.apply({"params": pa}, x_a, mask_a)
+    yv = enc_v.apply({"params": pv}, x_v, mask_v)
+    fa, fv = run_bidir_pair(cell, H, num_layers, pa, pv,
+                            x_a, mask_a, x_v, mask_v)
+    np.testing.assert_allclose(np.asarray(fa), np.asarray(ya),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(fv), np.asarray(yv),
+                               rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.parametrize("cell,num_layers", [("gru", 2)])
+def test_run_bidir_pair_grads_match_separate(cell, num_layers):
+    """Gradients through the fused pair must match the separate path."""
+    from mimrl_tpu.models.encoders import run_bidir_pair
+
+    H, T, bs, d_a, d_v = 8, 6, 2, 5, 4
+    enc_a = BiRnnEncoder(cell, H, num_layers)
+    enc_v = BiRnnEncoder(cell, H, num_layers)
+    ka, kv, kx = jax.random.split(jax.random.PRNGKey(2), 3)
+    x_a = jax.random.normal(kx, (bs, T, d_a))
+    x_v = jax.random.normal(jax.random.fold_in(kx, 1), (bs, T, d_v))
+    mask_a = prefix_mask(jnp.asarray([T, 3]), T)
+    mask_v = prefix_mask(jnp.asarray([2, T]), T)
+    pa = enc_a.init(ka, x_a, mask_a)["params"]
+    pv = enc_v.init(kv, x_v, mask_v)["params"]
+
+    def loss_sep(ps):
+        ya = enc_a.apply({"params": ps[0]}, x_a, mask_a)
+        yv = enc_v.apply({"params": ps[1]}, x_v, mask_v)
+        return jnp.sum(ya ** 2) + jnp.sum(yv * 3.0)
+
+    def loss_fused(ps):
+        fa, fv = run_bidir_pair(cell, H, num_layers, ps[0], ps[1],
+                                x_a, mask_a, x_v, mask_v)
+        return jnp.sum(fa ** 2) + jnp.sum(fv * 3.0)
+
+    g_sep = jax.grad(loss_sep)((pa, pv))
+    g_fused = jax.grad(loss_fused)((pa, pv))
+    for (path, a), b in zip(
+            jax.tree_util.tree_flatten_with_path(g_sep)[0],
+            jax.tree_util.tree_leaves(g_fused)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6,
+            err_msg=jax.tree_util.keystr(path))

@@ -171,3 +171,18 @@ def test_return_features_false(model_and_params):
     out = model.apply({"params": params}, *batch_inputs(),
                       return_features=False)
     assert len(out) == 1 and out[0].shape == (BS, 1)
+
+
+@pytest.mark.parametrize("encoders", ["gru", "lstm"])
+def test_fused_av_scan_matches_separate(encoders):
+    """--fused_av_scan (one scan chain for both towers) must reproduce
+    the separate rnn_a/rnn_v execution through the full model."""
+    sep = tiny_model(encoders=encoders, fused_av_scan=False)
+    fused = tiny_model(encoders=encoders, fused_av_scan=True)
+    inputs = batch_inputs()
+    params = init_full(sep, {"params": jax.random.PRNGKey(0)}, *inputs)
+    outs_s = sep.apply(params, *inputs)
+    outs_f = fused.apply(params, *inputs)
+    for a, b in zip(outs_s, outs_f):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
