@@ -22,6 +22,16 @@ Usage (real data):
 Hermetic smoke (synthetic fixture, tiny shapes):
     python -m mimrl_tpu.tools.parity --synthetic --allow_hermetic \
         --epochs_num 2 --out /tmp/parity.json
+
+Comparison (the second half of the protocol): given our report and a
+reference-side metric dict — either another report JSON from this
+harness, or a flat {"mae": ..., "corr": ..., ...} JSON hand-entered
+from a reference run log / the paper's MOSI table — emit per-metric
+relative deltas and pass/fail against a tolerance (north star: MOSI MAE
+within 1%):
+
+    python -m mimrl_tpu.tools.parity --compare ours.json reference.json \
+        --rel_tol 0.01
 """
 
 from __future__ import annotations
@@ -163,6 +173,45 @@ def run_parity(args) -> dict:
     return report
 
 
+def _extract_scores(doc: dict, score_key: str) -> dict:
+    """Accept either a full harness report (uses doc[score_key]) or a
+    flat {metric: value} dict (reference-side numbers entered by hand
+    from a run log or the paper table)."""
+    if score_key in doc and isinstance(doc[score_key], dict):
+        return doc[score_key]
+    flat = {k: v for k, v in doc.items() if isinstance(v, (int, float))}
+    if not flat:
+        sys.exit(f"parity: no '{score_key}' dict and no flat numeric "
+                 f"metrics found in comparison input")
+    return flat
+
+
+def compare_reports(ours: dict, ref: dict, rel_tol: float,
+                    score_key: str = "test_score_at_best_valid") -> dict:
+    """Per-metric relative deltas between our report and a reference
+    metric dict; a metric passes when |ours - ref| / max(|ref|, eps)
+    <= rel_tol. Only metrics present on BOTH sides are compared."""
+    a = _extract_scores(ours, score_key)
+    b = _extract_scores(ref, score_key)
+    shared = sorted(set(a) & set(b))
+    if not shared:
+        sys.exit("parity: the two inputs share no metric keys "
+                 f"(ours: {sorted(a)}, ref: {sorted(b)})")
+    rows = {}
+    for k in shared:
+        ours_v, ref_v = float(a[k]), float(b[k])
+        rel = abs(ours_v - ref_v) / max(abs(ref_v), 1e-12)
+        rows[k] = {"ours": ours_v, "ref": ref_v,
+                   "rel_delta": round(rel, 6), "ok": rel <= rel_tol}
+    return {
+        "score_key": score_key,
+        "rel_tol": rel_tol,
+        "metrics": rows,
+        "compared": shared,
+        "pass": all(r["ok"] for r in rows.values()),
+    }
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(
         description="MIMRL accuracy-parity harness (BASELINE.md protocol)")
@@ -187,7 +236,34 @@ def main(argv=None):
     ap.add_argument("--task_dir", default="./TaskRuning")
     ap.add_argument("--task_name", default="parity")
     ap.add_argument("--out", default=None, help="write the JSON report here")
+    ap.add_argument("--compare", nargs=2, metavar=("OURS", "REF"),
+                    default=None,
+                    help="compare two report/metric JSONs instead of "
+                         "running; exits 1 when any shared metric "
+                         "exceeds --rel_tol")
+    ap.add_argument("--rel_tol", type=float, default=0.01,
+                    help="relative tolerance for --compare (north star: "
+                         "MAE within 1%%)")
+    ap.add_argument("--score_key", default="test_score_at_best_valid",
+                    choices=["best_valid_score", "best_test_score",
+                             "test_score_at_best_valid"],
+                    help="which score slot of a full report to compare")
     args = ap.parse_args(argv)
+
+    if args.compare:
+        with open(args.compare[0]) as f:
+            ours = json.load(f)
+        with open(args.compare[1]) as f:
+            ref = json.load(f)
+        result = compare_reports(ours, ref, args.rel_tol, args.score_key)
+        text = json.dumps(result, indent=2)
+        if args.out:
+            with open(args.out, "w") as f:
+                f.write(text)
+        print(text)
+        if not result["pass"]:
+            sys.exit(1)
+        return result
 
     report = run_parity(args)
     text = json.dumps(report, indent=2, default=float)

@@ -51,3 +51,36 @@ def test_hermetic_smoke(tmp_path):
     assert ft[0] == 0.0 and ft[1] != 0.0
     on_disk = json.load(open(out))
     assert on_disk["best_valid_score"] == report["best_valid_score"]
+
+
+def test_compare_reports_pass_and_fail(tmp_path):
+    """--compare: per-metric relative deltas, pass/fail vs --rel_tol,
+    accepting both full reports and flat reference dicts."""
+    ours = {"test_score_at_best_valid": {"mae": 0.700, "corr": 0.790},
+            "hermetic": False}
+    ref_flat = {"mae": 0.703, "corr": 0.792}   # within 1%
+    res = parity.compare_reports(ours, ref_flat, rel_tol=0.01)
+    assert res["pass"] is True
+    assert set(res["compared"]) == {"mae", "corr"}
+    assert res["metrics"]["mae"]["ok"] and res["metrics"]["corr"]["ok"]
+
+    ref_far = {"mae": 0.650, "corr": 0.792}    # mae off by ~7.7%
+    res2 = parity.compare_reports(ours, ref_far, rel_tol=0.01)
+    assert res2["pass"] is False
+    assert not res2["metrics"]["mae"]["ok"]
+    assert res2["metrics"]["corr"]["ok"]
+
+    # full-report-vs-full-report and the CLI path (exit 1 on fail)
+    a, b = tmp_path / "a.json", tmp_path / "b.json"
+    a.write_text(json.dumps(ours))
+    b.write_text(json.dumps({"test_score_at_best_valid": ref_far}))
+    res3 = parity.main(["--compare", str(a), str(b), "--rel_tol", "0.2"])
+    assert res3["pass"] is True
+    with pytest.raises(SystemExit):
+        parity.main(["--compare", str(a), str(b), "--rel_tol", "0.001"])
+
+
+def test_compare_reports_no_shared_keys():
+    with pytest.raises(SystemExit):
+        parity.compare_reports({"test_score_at_best_valid": {"mae": 1.0}},
+                               {"accuracy": 0.5}, rel_tol=0.01)
