@@ -15,6 +15,7 @@ from mimrl_tpu.data.synthetic import make_local_fixture
 from mimrl_tpu.train.solver import Solver
 
 
+@pytest.mark.slow
 def test_model_dense_text_no_bert_params():
     import __graft_entry__ as ge
     from mimrl_tpu.models.model import init_full

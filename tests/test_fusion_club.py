@@ -33,7 +33,8 @@ def test_tfn_fusion_shape_and_fusion():
     assert np.allclose(np.asarray(y[:, :, 0]), np.asarray(y[:, :, 1]))
 
 
-@pytest.mark.parametrize("fusion", ["transformer", "tfn"])
+@pytest.mark.parametrize("fusion", [
+    pytest.param("transformer", marks=pytest.mark.slow), "tfn"])
 def test_model_with_alternative_fusion(fusion):
     from tests.test_model import BS, batch_inputs, tiny_model
 

@@ -47,6 +47,7 @@ def test_axis_mlp_module_pallas_flag():
     assert np.allclose(np.asarray(y1), np.asarray(y2), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_full_encoder_pallas_equivalence():
     kw = dict(
         activate="gelu", d_in=[8, 3, 16],

@@ -39,7 +39,9 @@ def test_make_mesh_three_axes():
     assert mesh.shape[MODEL_AXIS] == 1
 
 
-@pytest.mark.parametrize("data,pipe,micro", [(2, 4, 2), (1, 4, 4), (2, 2, 4)])
+@pytest.mark.parametrize("data,pipe,micro", [
+    pytest.param(2, 4, 2, marks=pytest.mark.slow),
+    pytest.param(1, 4, 4, marks=pytest.mark.slow), (2, 2, 4)])
 def test_pipelined_bert_matches_sequential(data, pipe, micro):
     cfg = _tiny_bert(n_layers=4)
     model = BertModel(cfg)

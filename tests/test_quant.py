@@ -111,6 +111,7 @@ def test_make_dense_mode_none_is_nn_dense():
     assert isinstance(layer, QuantDense)
 
 
+@pytest.mark.slow
 def test_bert_quant_output_close_and_params_shared():
     """Quantized BERT accepts the unquantized param tree (drop-in) and
     its output stays close over a full (tiny) layer stack."""
