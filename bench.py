@@ -39,6 +39,8 @@ BENCH_SKIP_BASELINE=1, BENCH_SKIP_DEFAULT=1 (skip the default-semantics
 window), BENCH_EPOCH_SCAN=0 (per-batch headline), BENCH_STAGE1_CACHED=0
 (fresh stage-1 forwards in the scanned window), BENCH_RNG_IMPL,
 BENCH_FUSED_EST=0, BENCH_MOMENT_DTYPE=bfloat16 (bf16 optimizer moments),
+BENCH_FUSED_OPTIM=1 (single-pass fused Adam, train/optim.py),
+BENCH_FUSED_AV=0 (separate A/V scan chains instead of the fused pair),
 BENCH_ATTN_FOLD / BENCH_GELU_REMAT / BENCH_ATTN_REMAT /
 BENCH_LAYER_REMAT / BENCH_FLASH_ATTN (BERT layout/remat knobs,
 value- and grad-preserving — tests/test_bert.py), BENCH_QUANT

@@ -142,6 +142,11 @@ class MimrlConfig:
     # (models/encoders.py::run_bidir_pair); --unfused_av_scan reverts to
     # the two sequential chains
     fused_av_scan: bool = True
+    # single-pass fused Adam update (train/optim.py::_fused_adam_chain):
+    # one elementwise kernel per leaf instead of one full-tree pass per
+    # optax transform; state layout identical to the optax chain.
+    # Opt-in until measured on hardware.
+    fused_optim: bool = False
     data_dir: Optional[str] = None  # overrides dataset root paths
     bert_vocab: Optional[str] = None  # path to a WordPiece vocab.txt
     bert_weights: Optional[str] = None  # path to pretrained BERT weights (.msgpack/.npz)
@@ -371,6 +376,7 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    action="store_false")
     p.add_argument("--unfused_av_scan", dest="fused_av_scan",
                    action="store_false")
+    p.add_argument("--fused_optim", action="store_true")
     p.add_argument("--data_dir", default=None, type=str)
     p.add_argument("--bert_vocab", default=None, type=str)
     p.add_argument("--bert_weights", default=None, type=str)

@@ -122,6 +122,81 @@ def _base_opt(cfg: MimrlConfig):
     raise NotImplementedError(cfg.optm)
 
 
+def _fused_adam_chain(cfg: MimrlConfig, scale_tree, learning_rate,
+                      trailing_empty: int):
+    """Single-pass fused equivalent of the
+    clip -> (weight_decay) -> scale_by_adam -> [scale_by_tree] -> -lr
+    chain: one elementwise kernel per leaf instead of one tree pass per
+    transform (each optax transform streams the full update tree through
+    HBM; at 110M params that is the dominant optimizer cost).
+
+    State structure is kept IDENTICAL to the optax.chain it replaces
+    (EmptyState placeholders in the same positions, ScaleByAdamState at
+    the same index) so checkpoints round-trip between the two paths and
+    `set_learning_rate` keeps working. Math matches optax bit-for-bit
+    modulo elementwise reassociation (tests/test_optim.py).
+    """
+    assert cfg.optm == "Adam"  # SGD/SAM keep the optax path
+    b1, b2, eps = 0.9, 0.999, 1e-8
+    mu_dtype = (jnp.bfloat16 if getattr(cfg, "moment_dtype", "float32")
+                == "bfloat16" else None)
+    n_pre = ((1 if cfg.gradient_clip > 0 else 0)
+             + (1 if cfg.weight_decay > 0 else 0))
+
+    def init_fn(params):
+        mu = jax.tree_util.tree_map(
+            lambda p: jnp.zeros_like(p, dtype=mu_dtype or p.dtype), params)
+        nu = jax.tree_util.tree_map(jnp.zeros_like, params)
+        adam = optax.ScaleByAdamState(
+            count=jnp.zeros([], jnp.int32), mu=mu, nu=nu)
+        states = ([optax.EmptyState()] * n_pre + [adam]
+                  + [optax.EmptyState()] * trailing_empty)
+        return tuple(states)
+
+    def update_fn(updates, state, params=None):
+        adam = state[n_pre]
+        count = optax.safe_int32_increment(adam.count)
+        c1 = 1.0 - b1 ** count.astype(jnp.float32)
+        c2 = 1.0 - b2 ** count.astype(jnp.float32)
+        lr = learning_rate
+
+        def leaf(g, p, m, v, s):
+            g = g.astype(jnp.float32)
+            if cfg.gradient_clip > 0:
+                g = jnp.clip(g, -cfg.gradient_clip, cfg.gradient_clip)
+            if cfg.weight_decay > 0:
+                g = g + cfg.weight_decay * p.astype(jnp.float32)
+            # NB: `b1 * m` runs in m's dtype (bf16 under --moment_dtype)
+            # before promotion — exactly optax's update_moment expression
+            m2 = (1.0 - b1) * g + b1 * m
+            v2 = (1.0 - b2) * (g * g) + b2 * v
+            u = (-lr * s) * ((m2 / c1) / (jnp.sqrt(v2 / c2) + eps))
+            m_out = m2.astype(mu_dtype) if mu_dtype else m2
+            return u.astype(g.dtype), m_out, v2
+
+        if scale_tree is None:
+            scale_tree_eff = jax.tree_util.tree_map(lambda _: 1.0, updates)
+        else:
+            scale_tree_eff = scale_tree
+        if params is None:
+            params = jax.tree_util.tree_map(jnp.zeros_like, updates)
+        flat = jax.tree_util.tree_map(
+            leaf, updates, params, adam.mu, adam.nu, scale_tree_eff,
+            is_leaf=lambda x: False)
+        u = jax.tree_util.tree_map(lambda t: t[0], flat,
+                                   is_leaf=lambda t: isinstance(t, tuple))
+        mu = jax.tree_util.tree_map(lambda t: t[1], flat,
+                                    is_leaf=lambda t: isinstance(t, tuple))
+        nu = jax.tree_util.tree_map(lambda t: t[2], flat,
+                                    is_leaf=lambda t: isinstance(t, tuple))
+        new_adam = optax.ScaleByAdamState(count=count, mu=mu, nu=nu)
+        states = ([optax.EmptyState()] * n_pre + [new_adam]
+                  + [optax.EmptyState()] * trailing_empty)
+        return u, tuple(states)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
 def make_main_optimizer(cfg: MimrlConfig, params_main: Dict,
                         params_bert: Dict):
     """Optimizer over merge(main, bert) with bert-group LR scaling and
@@ -134,6 +209,9 @@ def make_main_optimizer(cfg: MimrlConfig, params_main: Dict,
     )
 
     def make(learning_rate):
+        if getattr(cfg, "fused_optim", False) and cfg.optm == "Adam":
+            return _fused_adam_chain(cfg, scale_tree, learning_rate,
+                                     trailing_empty=2)
         chain = []
         if cfg.gradient_clip > 0:
             chain.append(optax.clip(cfg.gradient_clip))
@@ -149,6 +227,9 @@ def make_main_optimizer(cfg: MimrlConfig, params_main: Dict,
 
 def make_vmi_optimizer(cfg: MimrlConfig):
     def make(learning_rate):
+        if getattr(cfg, "fused_optim", False) and cfg.optm == "Adam":
+            return _fused_adam_chain(cfg, None, learning_rate,
+                                     trailing_empty=1)
         chain = []
         if cfg.gradient_clip > 0:
             chain.append(optax.clip(cfg.gradient_clip))

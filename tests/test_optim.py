@@ -167,3 +167,54 @@ def test_moment_dtype_bfloat16(optm):
         upd, state = opt.update(g, state, p)
         p = optax.apply_updates(p, upd)
     assert float(loss_fn(p)) < first * 0.5
+
+
+@pytest.mark.parametrize("clip,wd,moment_dtype", [
+    (1.5, 0.0, "float32"),
+    (0.0, 0.01, "float32"),
+    (1.5, 0.01, "bfloat16"),
+])
+def test_fused_optim_matches_optax_chain(clip, wd, moment_dtype):
+    """--fused_optim: the single-pass fused Adam must reproduce the
+    optax chain's updates AND state (same structure for checkpoint
+    round-trips) over several steps, for both optimizers."""
+    kw = dict(learning_rate=0.05, bert_lr_rate=0.01, bert_freeze="part",
+              gradient_clip=clip, weight_decay=wd, optm="Adam",
+              moment_dtype=moment_dtype, mi_lr_rate=0.5)
+    cfg_ref = MimrlConfig(fused_optim=False, **kw)
+    cfg_fused = MimrlConfig(fused_optim=True, **kw)
+    params = _toy_params()
+    main, bert, vmi = partition_params(params)
+    merged = merge_params(main, bert)
+
+    for make, tree in ((lambda c: make_main_optimizer(c, main, bert),
+                        merged),
+                       (make_vmi_optimizer, vmi)):
+        opt_r = make(cfg_ref)
+        opt_f = make(cfg_fused)
+        s_r = opt_r.init(tree)
+        s_f = opt_f.init(tree)
+        assert (jax.tree_util.tree_structure(s_r)
+                == jax.tree_util.tree_structure(s_f))
+        rng = np.random.default_rng(0)
+        for step in range(3):
+            grads = jax.tree_util.tree_map(
+                lambda p: jnp.asarray(
+                    rng.normal(size=p.shape, scale=2.0), p.dtype), tree)
+            u_r, s_r = opt_r.update(grads, s_r, tree)
+            u_f, s_f = opt_f.update(grads, s_f, tree)
+            for (path, a), b in zip(
+                    jax.tree_util.tree_flatten_with_path(u_r)[0],
+                    jax.tree_util.tree_leaves(u_f)):
+                np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(b), rtol=2e-6, atol=1e-8,
+                    err_msg=f"step {step} {jax.tree_util.keystr(path)}")
+            for (path, a), b in zip(
+                    jax.tree_util.tree_flatten_with_path(s_r)[0],
+                    jax.tree_util.tree_leaves(s_f)):
+                assert np.asarray(a).dtype == np.asarray(b).dtype, (
+                    jax.tree_util.keystr(path))
+                np.testing.assert_allclose(
+                    np.asarray(a, np.float32), np.asarray(b, np.float32),
+                    rtol=2e-6, atol=1e-8,
+                    err_msg=f"state step {step} {jax.tree_util.keystr(path)}")
