@@ -96,7 +96,8 @@ def test_interleaved_grads_match_sequential():
         out = model.apply({"params": p}, ids, types, mask, deterministic=True)
         return jnp.sum(out * cot)
 
-    mesh = make_mesh(4, 1, 2)
+    # data=2 x pipe=2: bs=8 must divide microbatches*data (= 4*2)
+    mesh = make_mesh(2, 1, 2)
 
     def loss_pipe(p):
         out = bert_forward_pipelined(
