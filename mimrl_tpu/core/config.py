@@ -210,6 +210,11 @@ class MimrlConfig:
     # state unchanged) whenever any gradient is NaN/Inf, instead of
     # poisoning the weights (SURVEY.md §5.3: the reference has none)
     skip_nonfinite_updates: bool = False
+    # user loss extension point, 'module.path:factory' (the functional
+    # counterpart of the reference's get_customized_loss placeholder,
+    # ref: Customization.py:40-41): factory(cfg) returns a jittable
+    # fn(out, labels, feats) -> scalar added to the stage-2 objective
+    custom_loss: Optional[str] = None
 
     # Derived/validation -----------------------------------------------------
     def __post_init__(self):
@@ -407,6 +412,9 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--ckpt_backend", default=d.ckpt_backend, type=str,
                    choices=["msgpack", "orbax"])
     p.add_argument("--skip_nonfinite_updates", action="store_true")
+    p.add_argument("--custom_loss", type=str, default=None,
+                   help="user loss hook 'module.path:factory'; "
+                        "factory(cfg) -> fn(out, labels, feats)")
     return p
 
 

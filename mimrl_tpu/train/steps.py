@@ -151,6 +151,10 @@ class StepFactory:
         self.opt_vmi = opt_vmi
         c1 = jnp.asarray(cfg.loss_mi_coefficient1, jnp.float32)
         c2 = jnp.asarray(cfg.loss_mi_coefficient2, jnp.float32)
+        # user loss hook (--custom_loss, train/custom.py): resolved once
+        # here, traced into the jitted steps below
+        from mimrl_tpu.train.custom import load_custom_loss
+        custom_loss = load_custom_loss(cfg.custom_loss, cfg)
 
         model_apply = model.apply
         # pipeline parallelism: run the BERT layer stack as a shard_map
@@ -240,6 +244,9 @@ class StepFactory:
                 else:
                     total = task_loss
                     mis = jnp.zeros((8,), jnp.float32)
+                if custom_loss is not None:
+                    total = total + custom_loss(out, labels,
+                                                (F_F, T_F, A_F, V_F))
                 return total, (out, F_F, T_F, A_F, V_F, mis, task_loss)
 
             (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -288,6 +295,8 @@ class StepFactory:
             else:
                 loss = task_loss
                 mis = jnp.zeros((8,), jnp.float32)
+            if custom_loss is not None:
+                loss = loss + custom_loss(out, labels, (F_F, T_F, A_F, V_F))
             return loss, mis, out, (F_F, T_F, A_F, V_F)
 
         # ---------------- epoch-level scans (--epoch_scan) ---------------- #
