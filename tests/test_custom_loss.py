@@ -67,6 +67,7 @@ def _train_losses(task_dir, name):
     return [s["value"] for s in scalars if s["tag"] == "Train/Loss"]
 
 
+@pytest.mark.slow
 def test_custom_term_reaches_objective(dec_root, tmp_path_factory):
     """A constant-free custom term must shift the logged training loss
     by exactly its value: with dropout off and MI coefficients zeroed,
@@ -89,6 +90,7 @@ def test_custom_term_reaches_objective(dec_root, tmp_path_factory):
     assert all(np.isfinite(v) for v in hooked)
 
 
+@pytest.mark.slow
 def test_feats_hook_runs(dec_root, tmp_path_factory):
     """The feats-consuming example factory traces and runs end-to-end
     (covers the (F, T, A, V) leg of the hook contract)."""

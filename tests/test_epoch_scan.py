@@ -66,3 +66,34 @@ def test_epoch_scan_with_features(dec_root, tmp_path_factory):
         feats = pickle.load(f)
     assert len(feats) == 1  # one eval batch of 8
     assert feats[0][0].shape == (8, 16)  # F_F mask-filtered
+
+
+def test_epoch_scan_tracks_per_batch_trajectory(dec_root,
+                                                tmp_path_factory):
+    """Trajectory consistency: with every noise source off (dropout 0
+    everywhere, MI coefficients zeroed so kNN-keyed critic training
+    can't reach the task objective), the scanned-epoch path must follow
+    the per-batch path's train-loss trajectory. Exact equality is not
+    achievable — MAE's subgradient flips sign on bitwise-level
+    prediction differences, so XLA re-association inside lax.scan
+    diverges the two runs at the 1e-3 level after an epoch — but a
+    misrouted label stack / shifted batch order / dropped optimizer
+    carry shows up at the 1e-1 level, which is what this pins."""
+    import json
+
+    def losses(task_dir, **kw):
+        cfg = cfg_for(dec_root, task_dir, epochs_num=2, task_name="tr",
+                      loss_mi_coefficient2=[0.0] * 8, bert_dropout=0.0,
+                      **kw)
+        Solver(cfg).solve()
+        scal = [json.loads(l) for l in
+                open(os.path.join(task_dir, "tr", "scalars.jsonl"))]
+        return [s["value"] for s in scal if s["tag"] == "Train/Loss"]
+
+    per_batch = losses(str(tmp_path_factory.mktemp("pb")),
+                       epoch_scan=False)
+    scanned = losses(str(tmp_path_factory.mktemp("sc")), epoch_scan=True)
+    assert len(per_batch) == len(scanned) == 2
+    # epoch 1 precedes any update divergence: near-exact
+    assert abs(per_batch[0] - scanned[0]) < 1e-3, (per_batch, scanned)
+    assert abs(per_batch[1] - scanned[1]) < 5e-2, (per_batch, scanned)

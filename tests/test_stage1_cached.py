@@ -178,12 +178,23 @@ def test_cached_sweep_close_to_fresh_when_bank_matches(dec_root,
 @pytest.mark.slow
 def test_stage1_cached_converges(dec_root, tmp_path_factory):
     """Convergence guard: the cached-stage-1 solver must still learn and
-    produce live MI telemetry from epoch 1 on."""
+    produce live MI telemetry from epoch 1 on.
+
+    loss_mi_coefficient2 is zeroed and bert_dropout turned off,
+    mirroring test_solver.py's test_loss_decreases_on_learnable_synthetic
+    and making the task-loss trajectory deterministic: on a 24-sample
+    fixture both the 8 weighted MI terms (8 x 0.01 x O(1) estimates from
+    critics trained on an epoch-stale bank) and BERT-internal dropout
+    noise are the same order as the per-epoch MAE improvement, so the
+    trajectory is not monotone under them. The guard pins task learning
+    + live telemetry; telemetry is use_mi(bank)-driven, independent of
+    the coefficients (critics still train at coefficient1)."""
     import json
 
     task_dir = str(tmp_path_factory.mktemp("runs"))
     cfg = cfg_for(dec_root, task_dir, epochs_num=4, learning_rate=5e-3,
-                  lr_decrease="step", lr_decrease_iter="60")
+                  lr_decrease="step", lr_decrease_iter="60",
+                  loss_mi_coefficient2=[0.0] * 8, bert_dropout=0.0)
     best = Solver(cfg).solve()
     assert best[0] is not None and np.isfinite(best[0]["mae"])
     scalars = [json.loads(l) for l in
