@@ -48,10 +48,11 @@ value- and grad-preserving — tests/test_bert.py), BENCH_QUANT
 BERT dense GEMMs measured slower end-to-end at canonical shapes on v5e,
 see docs/PERFORMANCE.md; the synthetic convergence suite guards metric
 parity, tests/test_solver_variants.py::test_quant_int8_converges),
-BENCH_BASELINE_DTYPE=float32 (run the baseline window at the
-reference's own plain-f32 numerics instead of inheriting our bf16
-mixed precision; default inherits BENCH_DTYPE — conservative, in the
-reference's favor).
+BENCH_BASELINE_DTYPE=float32 (pin the HEADLINE baseline window's dtype;
+default inherits BENCH_DTYPE — conservative, in the reference's favor),
+BENCH_SKIP_F32_BASELINE=1 (skip the second baseline window that measures
+the reference's own plain-f32 numerics and fills
+`vs_baseline_ref_numerics` in the JSON).
 """
 
 from __future__ import annotations
@@ -234,29 +235,9 @@ def main():
 
     # --- baseline: reference-style host-serialized kNN pattern ---
     vs_baseline = None
+    base_sps = base_sps_f32 = None
     if os.environ.get("BENCH_SKIP_BASELINE", "0") != "1":
         from sklearn.neighbors import NearestNeighbors
-
-        # The baseline window reproduces the reference's EXECUTION
-        # pattern, so it must not inherit our vmap-fused estimator bank:
-        # the reference runs the 11 MI/CMI estimators as sequential
-        # module calls (ref: Model.py:305-341). Same params, same math —
-        # only the reference's sequential execution order. (This is
-        # exactly the round-1 baseline semantics, which predate the
-        # fusion.)
-        #
-        # BENCH_BASELINE_DTYPE=float32 measures the baseline at the
-        # reference's own numerics (the reference is plain-f32 torch, no
-        # AMP anywhere) — the default keeps round-1 semantics: the
-        # baseline inherits our bf16 mixed precision, i.e. it is
-        # CONSERVATIVE in the reference's favor.
-        base_dtype = os.environ.get("BENCH_BASELINE_DTYPE", dtype)
-        _, model_base = _build(bs, time_len, d_a, d_v, d_common=d_common,
-                               bert_layers=bert_layers, bert_hidden=768,
-                               bert_heads=12, cube_l=50,
-                               compute_dtype=base_dtype, quant=quant,
-                               fused_estimators=False)
-        steps_base = StepFactory(model_base, cfg, opt_main, opt_vmi)
 
         bank_np = {k: np.asarray(getattr(bank, k)) for k in
                    ("C", "F", "T", "A", "V")}
@@ -292,30 +273,61 @@ def main():
                 jax.block_until_ready(out[name])  # device round-trip
             return out
 
-        # warm up the per-batch reference-exact programs (the baseline
-        # must not be charged for jit time)
-        out = one_batch(*state, new_bank, 0, jax.random.fold_in(rng, 999),
-                        fast_stage1=False, S=steps_base)
-        jax.block_until_ready(out[-1])
-        state, new_bank = out[:5], out[5]
+        def measure_baseline(base_dtype):
+            # The baseline window reproduces the reference's EXECUTION
+            # pattern, so it must not inherit our vmap-fused estimator
+            # bank: the reference runs the 11 MI/CMI estimators as
+            # sequential module calls (ref: Model.py:305-341). Same
+            # params, same math — only the reference's sequential
+            # execution order (round-1 baseline semantics).
+            nonlocal state, new_bank
+            _, model_base = _build(bs, time_len, d_a, d_v,
+                                   d_common=d_common,
+                                   bert_layers=bert_layers, bert_hidden=768,
+                                   bert_heads=12, cube_l=50,
+                                   compute_dtype=base_dtype, quant=quant,
+                                   fused_estimators=False)
+            steps_base = StepFactory(model_base, cfg, opt_main, opt_vmi)
 
-        t0 = time.perf_counter()
-        n_base = max(n_steps // 2, 3)
-        for i in range(n_base):
-            # per canonical batch: 3 loss evaluations each needing 6
-            # host kNN round-trips (2 critic + 1 train step); critic
-            # passes run the reference-exact fresh forward
-            for _ in range(3):
-                host_knn_all()
-            out = one_batch(*state, new_bank,
-                            (i * bs) % (n_bank - bs),
-                            jax.random.fold_in(rng, 1000 + i),
+            # warm up the per-batch reference-exact programs (the
+            # baseline must not be charged for jit time)
+            out = one_batch(*state, new_bank, 0,
+                            jax.random.fold_in(rng, 999),
                             fast_stage1=False, S=steps_base)
+            jax.block_until_ready(out[-1])
             state, new_bank = out[:5], out[5]
-        jax.block_until_ready(out[-1])
-        base_elapsed = time.perf_counter() - t0
-        base_sps = bs * n_base / base_elapsed
+
+            t0 = time.perf_counter()
+            n_base = max(n_steps // 2, 3)
+            for i in range(n_base):
+                # per canonical batch: 3 loss evaluations each needing 6
+                # host kNN round-trips (2 critic + 1 train step); critic
+                # passes run the reference-exact fresh forward
+                for _ in range(3):
+                    host_knn_all()
+                out = one_batch(*state, new_bank,
+                                (i * bs) % (n_bank - bs),
+                                jax.random.fold_in(rng, 1000 + i),
+                                fast_stage1=False, S=steps_base)
+                state, new_bank = out[:5], out[5]
+            jax.block_until_ready(out[-1])
+            return bs * n_base / (time.perf_counter() - t0)
+
+        # Two baseline numerics, both reported:
+        # - `vs_baseline` (the headline ratio) keeps round-1 semantics:
+        #   the baseline inherits our bf16 mixed precision — i.e. it is
+        #   CONSERVATIVE, in the reference's favor (the reference itself
+        #   is plain-f32 torch with no AMP anywhere, Solver.py).
+        # - `vs_baseline_ref_numerics` measures the same pattern at the
+        #   reference's own f32 numerics. BENCH_BASELINE_DTYPE pins the
+        #   headline baseline's dtype explicitly; BENCH_SKIP_F32_BASELINE=1
+        #   drops the extra window (saves one compile + window).
+        base_dtype = os.environ.get("BENCH_BASELINE_DTYPE", dtype)
+        base_sps = measure_baseline(base_dtype)
         vs_baseline = samples_per_sec / base_sps
+        if (base_dtype != "float32"
+                and os.environ.get("BENCH_SKIP_F32_BASELINE", "0") != "1"):
+            base_sps_f32 = measure_baseline("float32")
 
     result = {
         "metric": "mosi_two_stage_train_throughput",
@@ -329,6 +341,9 @@ def main():
         "vs_baseline_default_semantics":
             round(default_sps / base_sps, 3)
             if (default_sps and vs_baseline) else None,
+        "vs_baseline_ref_numerics":
+            round(samples_per_sec / base_sps_f32, 3)
+            if base_sps_f32 else None,
     }
     print(json.dumps(result))
 

@@ -732,7 +732,8 @@ class Solver:
             msg = self.build_message(epoch, train_loss, train_mis, train_score,
                                      val_loss, val_mis, val_score, test_loss,
                                      test_mis, test_score)
-            log_message(msg + f" || {dt:.1f}s {sps:.1f} samples/s")
+            log_message(msg + f" || {dt:.1f}s {sps:.1f} samples/s"
+                        + self._hbm_suffix())
             self.log_tf_board(epoch, train_loss, train_mis, train_score,
                               val_loss, val_mis, val_score, test_loss,
                               test_mis, test_score)
@@ -792,6 +793,22 @@ class Solver:
             signal.signal(sig, handler)
 
     # ------------------------------------------------------------------ #
+    def _hbm_suffix(self) -> str:
+        """' || HBM peak/live GiB' when the backend exposes memory stats
+        (TPU runtimes do; CPU returns None/raises -> empty string). Peak
+        HBM is the first thing to check when scaling batch/model size,
+        so it rides the epoch log line rather than hiding in a tool."""
+        try:
+            stats = jax.local_devices()[0].memory_stats()
+        except Exception:
+            return ""
+        if not stats or "peak_bytes_in_use" not in stats:
+            return ""
+        gib = 1024 ** 3
+        peak = stats["peak_bytes_in_use"] / gib
+        live = stats.get("bytes_in_use", 0) / gib
+        return f" HBM {peak:.2f}/{live:.2f} GiB peak/live"
+
     def build_message(self, epoch, train_loss, train_mis, train_score,
                       val_loss, val_mis, val_score, test_loss, test_mis,
                       test_score) -> str:
