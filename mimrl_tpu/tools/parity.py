@@ -112,7 +112,11 @@ def run_parity(args) -> dict:
         root = tempfile.mkdtemp(prefix="parity_syn_")
         from mimrl_tpu.data.synthetic import make_dec_fixture
 
-        make_dec_fixture(root, "mosi", n_per_split=(64, 16, 16),
+        # --full_scale: the real MOSI split sizes (1284/229/686) so the
+        # run is a faithful end-to-end throughput measurement at the
+        # canonical shapes; default: tiny smoke fixture
+        splits = (1284, 229, 686) if args.full_scale else (64, 16, 16)
+        make_dec_fixture(root, "mosi", n_per_split=splits,
                          d_audio=5, d_video=20, seed=args.seed)
         data_dir = root
     else:
@@ -136,10 +140,11 @@ def run_parity(args) -> dict:
         bert_weights=args.bert_weights, task_dir=args.task_dir,
         task_name=args.task_name, epochs_num=args.epochs_num,
         seed=args.seed, epoch_scan=args.epoch_scan,
+        stage1_cached=args.stage1_cached,
         compute_dtype=args.compute_dtype, quant=args.quant,
         save_latest_every=0,
     )
-    if args.synthetic:
+    if args.synthetic and not args.full_scale:
         # tiny shapes so the hermetic smoke finishes in minutes
         overrides.update(
             batch_size=16, time_len=24, d_common=32,
@@ -147,6 +152,11 @@ def run_parity(args) -> dict:
             d_outs=[[24, 3, 32], [8, 3, 32]],
             bert_layers=2, bert_heads=2, bert_hidden=32,
             num_workers=0, save_best_features=False)
+    elif args.synthetic:
+        # full canonical shapes on the synthetic fixture: an end-to-end
+        # solver throughput measurement (samples/s incl. eval) without
+        # the real pickles; num_workers=0 (in-process pipeline)
+        overrides.update(num_workers=0)
 
     cfg = canonical_config(**overrides)
     from mimrl_tpu.train.solver import Solver
@@ -225,6 +235,12 @@ def main(argv=None):
     ap.add_argument("--synthetic", action="store_true",
                     help="generate a synthetic Dec fixture and run tiny "
                          "shapes (hermetic smoke)")
+    ap.add_argument("--full_scale", action="store_true",
+                    help="with --synthetic: real MOSI split sizes + the "
+                         "canonical shapes (end-to-end throughput measure)")
+    ap.add_argument("--stage1_cached", action="store_true",
+                    help="perf-mode stage 1 (critics sweep the epoch-stale "
+                         "bank; requires epoch_scan)")
     ap.add_argument("--epochs_num", type=int, default=70)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--epoch_scan", action="store_true", default=True)
