@@ -83,13 +83,19 @@ if __name__ == "__main__":
     f_fwd = jax.jit(task_loss)
     results["fwd_ms"] = round(timeit(f_fwd, p_main, p_bert, iters=iters), 2)
 
-    f_all = jax.jit(lambda pm, pb: jax.value_and_grad(task_loss, (0, 1))(
-        pm, pb)[0])
+    # NB: the grads must stay live in the jitted output or XLA dead-code
+    # eliminates the whole backward (fwd+bwd would time == fwd). Reduce
+    # each grad leaf to a scalar so the output transfer stays tiny.
+    def keep(grads):
+        return sum(jnp.sum(g) for g in jax.tree_util.tree_leaves(grads))
+
+    f_all = jax.jit(lambda pm, pb: keep(jax.value_and_grad(
+        task_loss, (0, 1))(pm, pb)[1]))
     results["fwd+bwd_all_ms"] = round(
         timeit(f_all, p_main, p_bert, iters=iters), 2)
 
-    f_main = jax.jit(lambda pm, pb: jax.value_and_grad(task_loss, 0)(
-        pm, pb)[0])
+    f_main = jax.jit(lambda pm, pb: keep(jax.value_and_grad(
+        task_loss, 0)(pm, pb)[1]))
     results["fwd+bwd_main_only_ms"] = round(
         timeit(f_main, p_main, p_bert, iters=iters), 2)
 
@@ -109,10 +115,32 @@ if __name__ == "__main__":
     pb_rest["bertmodel"] = bm_rest
     # grads flow into pb_rest's subtree only; emb tables are constants.
     # NOTE: pb_rest lacks 'embeddings', loss_noemb re-adds it.
-    f_noemb = jax.jit(lambda pm, pbr, e: jax.value_and_grad(
-        loss_noemb, (0, 1))(pm, pbr, e)[0])
+    f_noemb = jax.jit(lambda pm, pbr, e: keep(jax.value_and_grad(
+        loss_noemb, (0, 1))(pm, pbr, e)[1]))
     results["fwd+bwd_noemb_ms"] = round(
         timeit(f_noemb, p_main, pb_rest, emb, iters=iters), 2)
+
+    f_bert_only = jax.jit(lambda pm, pb: keep(jax.value_and_grad(
+        task_loss, 1)(pm, pb)[1]))
+    results["fwd+bwd_bert_only_ms"] = round(
+        timeit(f_bert_only, p_main, p_bert, iters=iters), 2)
+
+    # the isolated BERT tower (fwd and fwd+bwd), same shapes: everything
+    # outside these two numbers is the A/V towers + CubeMLP + losses
+    from mimrl_tpu.models.bert import BertModel
+    bert_tower = BertModel(model.bert_config)
+
+    def bert_loss(pb):
+        h = bert_tower.apply(
+            {"params": pb["bertmodel"]}, inputs[0], inputs[1], inputs[2],
+            deterministic=False, rngs={"dropout": rng})
+        return jnp.sum(jnp.mean(h, axis=1) ** 2)
+
+    f_bfwd = jax.jit(bert_loss)
+    results["bert_fwd_ms"] = round(timeit(f_bfwd, p_bert, iters=iters), 2)
+    f_ball = jax.jit(lambda pb: keep(jax.value_and_grad(bert_loss)(pb)))
+    results["bert_fwd+bwd_ms"] = round(
+        timeit(f_ball, p_bert, iters=iters), 2)
 
     opt = make_main_optimizer(cfg, p_main, p_bert)
     merged = merge_params(p_main, p_bert)
@@ -131,8 +159,12 @@ if __name__ == "__main__":
         "bwd_total_ms": round(results["fwd+bwd_all_ms"] - results["fwd_ms"], 2),
         "bert_bwd_ms": round(results["fwd+bwd_all_ms"]
                              - results["fwd+bwd_main_only_ms"], 2),
+        "nonbert_bwd_ms": round(results["fwd+bwd_all_ms"]
+                                - results["fwd+bwd_bert_only_ms"], 2),
         "emb_scatter_ms": round(results["fwd+bwd_all_ms"]
                                 - results["fwd+bwd_noemb_ms"], 2),
+        "isolated_bert_bwd_ms": round(results["bert_fwd+bwd_ms"]
+                                      - results["bert_fwd_ms"], 2),
     }
     print(json.dumps({"backend": jax.default_backend(),
                       "bs": bs, "time_len": time_len, **results}))

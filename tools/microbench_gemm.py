@@ -25,12 +25,34 @@ import numpy as np
 
 
 def timeit(fn, *args, iters):
-    out = fn(*args)
-    jax.block_until_ready(out)
+    """Time `iters` data-dependent repetitions INSIDE one jitted program.
+
+    Dispatch-loop timing (call fn in a Python loop, block at the end)
+    measured impossible rates through the axon tunnel (>2000 TFLOP/s on a
+    v5e), so the runtime is eliding or caching repeated identical
+    dispatches. A lax.fori_loop whose carry feeds the next iteration
+    cannot be elided and times the kernel itself.
+    """
+
+    def chained(*xs):
+        def body(_, carry):
+            out = fn(*carry)
+            # write one output scalar into operand 0 so iteration i+1
+            # genuinely depends on iteration i (not algebraically
+            # foldable, unlike +0/*0 tricks)
+            t = jax.tree_util.tree_leaves(out)[0].ravel()[0]
+            patch = t.astype(carry[0].dtype).reshape((1,) * carry[0].ndim)
+            x0 = jax.lax.dynamic_update_slice(
+                carry[0], patch, (0,) * carry[0].ndim)
+            return (x0, *carry[1:])
+
+        xs = jax.lax.fori_loop(0, iters, body, xs)
+        return xs[0]
+
+    g = jax.jit(chained)
+    jax.block_until_ready(g(*args))  # compile
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
+    jax.block_until_ready(g(*args))
     return (time.perf_counter() - t0) / iters
 
 
