@@ -141,11 +141,14 @@ def interp_lower_bound(scores: Array, baseline: Array, alpha_logit: float) -> Ar
     interpolated_baseline = log_interpolate(
         nce_baseline, jnp.tile(baseline, (1, n)), alpha_logit
     )
-    # marginal term
-    critic_marg = scores - jnp.diag(jnp.diagonal(interpolated_baseline))
+    # marginal term: the reference's ``torch.diag(M)`` on a 2-D matrix
+    # extracts the diagonal VECTOR, which then broadcasts across rows
+    # (ref: VMI.py:244-245) — NOT a diagonal matrix.
+    critic_marg = scores - jnp.diagonal(interpolated_baseline)[None, :]
     marg_term = jnp.exp(logmeanexp_nodiag(critic_marg))
-    # joint term
-    critic_joint = jnp.diag(jnp.diagonal(scores)) - interpolated_baseline
+    # joint term: diagonal vector of scores broadcast against the full
+    # interpolated-baseline matrix (ref: VMI.py:248-249).
+    critic_joint = jnp.diagonal(scores)[None, :] - interpolated_baseline
     joint_term = (jnp.sum(critic_joint) - jnp.sum(jnp.diagonal(critic_joint))) / (
         n * (n - 1.0)
     )
