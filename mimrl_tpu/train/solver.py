@@ -66,7 +66,7 @@ class Solver:
             hidden_size=opt.bert_hidden,
             num_hidden_layers=opt.bert_layers,
             num_attention_heads=opt.bert_heads,
-            intermediate_size=opt.bert_hidden * 4,
+            intermediate_size=opt.bert_intermediate or opt.bert_hidden * 4,
             max_position_embeddings=max(512, opt.time_len),
             hidden_dropout_prob=opt.bert_dropout,
             attention_probs_dropout_prob=opt.bert_dropout,
@@ -292,9 +292,12 @@ class Solver:
         cacheable = (not getattr(loader, "shuffle", True)
                      and not getattr(loader, "avec_random_word", False))
         if not hasattr(self, "_stack_cache"):
+            # keyed by the loader OBJECT (identity hash): holding the key
+            # keeps the loader alive, so — unlike an id() key — the entry
+            # can never alias a new loader that reuses a GC'd id.
             self._stack_cache = {}
-        if cacheable and id(loader) in self._stack_cache:
-            return self._stack_cache[id(loader)]
+        if cacheable and loader in self._stack_cache:
+            return self._stack_cache[loader]
         if self.raw_text:
             fields = ("bert_sentences", "bert_sentence_types",
                       "bert_sentence_att_mask", "audio", "video",
@@ -343,7 +346,7 @@ class Solver:
             labels_stack = place(labels_stack)
         result = (batches, labels_stack, labels_np, masks)
         if cacheable:
-            self._stack_cache[id(loader)] = result
+            self._stack_cache[loader] = result
         return result
 
     # ------------------------------------------------------------------ #
@@ -540,13 +543,18 @@ class Solver:
         return self._evaluate_epoch_scan_dispatch(loader)()
 
     def _log_gradients(self, model_batch, labels_dev, stage: int):
-        """--check_gradient: per-module |grad| sums
+        """--check_gradient: per-PARAMETER name/param-sum/grad-sum lines,
+        bert params skipped, matching the reference's print_gradient
         (ref: Solver.py:215-216, Utils.py:11-19)."""
         sums = self.steps.grad_debug_step(
             self.params_main, self.params_bert, self.params_vmi,
             model_batch, labels_dev, self.bank, self._next_rng(), stage)
         for name in sorted(sums):
-            log_message(f"-->grad[{name}] = {float(sums[name]):.6f}")
+            p_sum, g_sum = sums[name]
+            log_message(f"-->name: {name}")
+            log_message(f"-->para: {float(p_sum):.6f}")
+            log_message(f"-->grad_value: {float(g_sum):.6f}")
+            log_message("=" * 25)
 
     def evaluate(self, loader):
         """No-grad eval pass (ref: Solver.py:250-270)."""

@@ -513,11 +513,20 @@ class StepFactory:
 
             merged = merge_params(params_main, params_bert, params_vmi)
             grads = jax.grad(loss_fn)(merged)
-            return {
-                name: sum(jnp.sum(jnp.abs(leaf))
-                          for leaf in jax.tree_util.tree_leaves(sub))
-                for name, sub in grads.items()
-            }
+            # Per-PARAMETER granularity, matching the reference's
+            # print_gradient loop over named_parameters() with 'bert'
+            # skipped (ref: Utils.py:11-19): flattened leaf name ->
+            # (param sum, grad sum).
+            out = {}
+            for path, g in jax.tree_util.tree_leaves_with_path(grads):
+                name = jax.tree_util.keystr(path)
+                if "bert" in name:
+                    continue
+                p = merged
+                for k in path:
+                    p = p[k.key] if hasattr(k, "key") else p[k.idx]
+                out[name] = (jnp.sum(p), jnp.sum(g))
+            return out
 
         self.critic_step = jax.jit(critic_step, donate_argnums=(2, 3))
         self.features_step = jax.jit(features_step)

@@ -97,3 +97,54 @@ def test_epoch_scan_tracks_per_batch_trajectory(dec_root,
     # epoch 1 precedes any update divergence: near-exact
     assert abs(per_batch[0] - scanned[0]) < 1e-3, (per_batch, scanned)
     assert abs(per_batch[1] - scanned[1]) < 5e-2, (per_batch, scanned)
+
+
+def test_epoch_scan_sharded_matches_unsharded(dec_root, tmp_path_factory):
+    """--epoch_scan under an 8-virtual-device data mesh: the sharded
+    _stack_epoch branch + bank writes under data sharding must reproduce
+    the unsharded run — same bank rows (same sample routing) and the
+    same metric trajectory. Gross mismatch here means misrouted shards
+    or a corrupted bank scatter; small drift is XLA reduction-order."""
+    def run(task_dir, **kw):
+        cfg = cfg_for(dec_root, task_dir, task_name="sh", epochs_num=2,
+                      bert_dropout=0.0, **kw)
+        solver = Solver(cfg)
+        best = solver.solve()
+        return solver, best
+
+    s0, b0 = run(str(tmp_path_factory.mktemp("uns")))
+    s1, b1 = run(str(tmp_path_factory.mktemp("shd")), mesh_data=8,
+                 parallel=True)
+    assert s1.mesh is not None
+    # same samples marked valid in the bank
+    v0, v1 = np.asarray(s0.bank.valid), np.asarray(s1.bank.valid)
+    np.testing.assert_array_equal(v0, v1)
+    n = int(v0.sum())
+    assert n == 32
+    # bank feature rows match per-sample (atol covers 2 epochs of
+    # reduction-order drift; a shard/routing bug is O(1) wrong)
+    for name in ("T", "A", "V", "C", "F"):
+        r0 = np.asarray(getattr(s0.bank, name))[:n]
+        r1 = np.asarray(getattr(s1.bank, name))[:n]
+        assert float(np.abs(r0).sum()) > 0
+        np.testing.assert_allclose(r0, r1, atol=5e-2,
+                                   err_msg=f"bank.{name}")
+    # final valid metrics agree
+    assert abs(b0[0]["mae"] - b1[0]["mae"]) < 5e-2, (b0[0], b1[0])
+
+
+def test_check_gradient_per_parameter_lines(dec_root, tmp_path_factory):
+    """--check_gradient emits per-PARAMETER name/para/grad_value lines
+    with bert params skipped (ref print_gradient, Utils.py:11-19)."""
+    task_dir = str(tmp_path_factory.mktemp("cg"))
+    cfg = cfg_for(dec_root, task_dir, task_name="cg", epochs_num=2,
+                  epoch_scan=False, check_gradient=True)
+    Solver(cfg).solve()
+    log = open(os.path.join(task_dir, "cg", "Running.log")).read()
+    names = [l.split("-->name: ", 1)[1] for l in log.splitlines()
+             if "-->name: " in l]
+    assert len(names) > 20  # per-leaf, not per-top-level-module
+    assert not any("bert" in n for n in names)
+    # leaf-level paths (nested module names), value lines present
+    assert any("kernel" in n for n in names)
+    assert "-->grad_value: " in log and "-->para: " in log
