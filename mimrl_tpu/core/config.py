@@ -157,6 +157,7 @@ class MimrlConfig:
     bert_dropout: float = 0.1
     bert_heads: int = 12
     bert_hidden: int = 768
+    bert_intermediate: Optional[int] = None  # FFN width (None = 4*hidden)
     resume: Optional[str] = None  # checkpoint dir to resume from
     task_dir: str = "./TaskRuning"  # run dir root [sic spelling, ref: Solver.py:108]
     jit_backend: Optional[str] = None  # force a jax platform (tests use 'cpu')
@@ -389,6 +390,8 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--bert_dropout", default=d.bert_dropout, type=float)
     p.add_argument("--bert_heads", default=d.bert_heads, type=int)
     p.add_argument("--bert_hidden", default=d.bert_hidden, type=int)
+    p.add_argument("--bert_intermediate", default=d.bert_intermediate,
+                   type=int)
     p.add_argument("--resume", default=None, type=str)
     p.add_argument("--task_dir", default=d.task_dir, type=str)
     p.add_argument("--jit_backend", default=None, type=str)

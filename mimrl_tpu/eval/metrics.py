@@ -85,6 +85,15 @@ def calc_metrics(y_true, y_pred, to_print: bool = False) -> Dict[str, float]:
     if to_print:
         for k, v in result.items():
             logging.debug("%s: %s", k, v)
+        # debug classification reports (ref: Utils.py:152-154,163-165)
+        from sklearn.metrics import classification_report
+
+        logging.debug("Classification Report (pos/neg): ")
+        logging.debug(classification_report(binary_truth_pn,
+                                            binary_preds_pn, digits=5))
+        logging.debug("Classification Report (non-neg/neg): ")
+        logging.debug(classification_report(binary_truth_nn,
+                                            binary_preds_nn, digits=5))
     return result
 
 
