@@ -17,42 +17,66 @@ Env: GEMM_M, GEMM_K, GEMM_N, GEMM_ITERS, GEMM_BM, GEMM_BN.
 
 import json
 import os
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 def timeit(fn, *args, iters):
-    """Time `iters` data-dependent repetitions INSIDE one jitted program.
+    """Time `iters` chained python-level dispatches of jit(fn).
 
-    Dispatch-loop timing (call fn in a Python loop, block at the end)
-    measured impossible rates through the axon tunnel (>2000 TFLOP/s on a
-    v5e), so the runtime is eliding or caching repeated identical
-    dispatches. A lax.fori_loop whose carry feeds the next iteration
-    cannot be elided and times the kernel itself.
+    Two measurement traps on this platform, both hit in round 2/3:
+    - a lax.fori_loop whose body output feeds only PART of the next
+      carry lets XLA's loop simplifier hoist the loop-invariant rows of
+      the GEMM out of the body (measured "13000 TFLOP/s" on a chip with
+      a 197 nominal peak). Python-level dispatches compile fn standalone,
+      so no cross-iteration rewrite is possible.
+    - the final wait must be a device->host FETCH of a few elements:
+      fetching cannot complete before the chain has executed, and a tiny
+      slice keeps tunnel bandwidth out of the measurement.
+    Iteration i+1's operand 0 is rebuilt from iteration i's output
+    (cheap [m,k] slice/cast), so every dispatch is data-dependent on the
+    previous one — nothing can be skipped, reordered, or deduplicated.
     """
+    a0 = args[0]
+    m, k = a0.shape
 
-    def chained(*xs):
-        def body(_, carry):
-            out = fn(*carry)
-            # write one output scalar into operand 0 so iteration i+1
-            # genuinely depends on iteration i (not algebraically
-            # foldable, unlike +0/*0 tricks)
-            t = jax.tree_util.tree_leaves(out)[0].ravel()[0]
-            patch = t.astype(carry[0].dtype).reshape((1,) * carry[0].ndim)
-            x0 = jax.lax.dynamic_update_slice(
-                carry[0], patch, (0,) * carry[0].ndim)
-            return (x0, *carry[1:])
+    def refeed(out):
+        """Rebuild operand 0 from the FULL output: every element of the
+        next iterate depends on the previous output, so the loop
+        simplifier cannot hoist any part of the GEMM (a partial
+        dependency let it hoist the loop-invariant rows — measured
+        "13000 TFLOP/s"). Slice first so the normalize touches [m, k]
+        not [m, n]; rsqrt-normalize keeps iterates finite."""
+        o = jax.tree_util.tree_leaves(out)[0]
+        o2 = o.reshape(o.shape[0], -1) if o.ndim != 2 else o
+        if o2.shape[1] < k:
+            o2 = jnp.tile(o2, (1, -(-k // o2.shape[1])))
+        if o2.shape[0] < m:
+            o2 = jnp.tile(o2, (-(-m // o2.shape[0]), 1))
+        o2 = o2[:m, :k].astype(jnp.float32)
+        o2 = o2 * jax.lax.rsqrt(jnp.mean(jnp.square(o2)) + 1.0)
+        if a0.dtype == jnp.int8:
+            o2 = jnp.clip(jnp.round(o2 * 64.0), -127, 127)
+        return o2.astype(a0.dtype)
 
-        xs = jax.lax.fori_loop(0, iters, body, xs)
-        return xs[0]
+    def chained(a, *rest):
+        a = jax.lax.fori_loop(
+            0, iters, lambda _, a: refeed(fn(a, *rest)), a)
+        # tiny slice: the timing fetch below cannot complete before the
+        # whole chain has executed, and a 4-element transfer keeps
+        # tunnel bandwidth out of the measurement
+        return jnp.ravel(a)[:4]
 
     g = jax.jit(chained)
-    jax.block_until_ready(g(*args))  # compile
+    np.asarray(g(*args))  # compile + warm + sync
     t0 = time.perf_counter()
-    jax.block_until_ready(g(*args))
+    np.asarray(g(*args))
     return (time.perf_counter() - t0) / iters
 
 
