@@ -1,0 +1,573 @@
+"""Executable comparison against the ACTUAL reference implementation
+(the second half of the BASELINE.md protocol).
+
+Runs /root/reference's torch code on CPU (shims: tools/_ref_harness.py)
+and mimrl_tpu side by side FROM IDENTICAL WEIGHTS (utils/torch_import)
+on identical synthetic Dec data, and diffs:
+
+  forward  — the Model.forward 5-tuple (predictions + 4 feature means)
+  losses   — all 11 stage-1 (mi, mi_loss) pairs and all 8 stage-2 MI
+             channels + their losses, with IDENTICAL injected kNN
+             conditional-product samples (the reference's own
+             prod_knn_sample output is replayed into both sides)
+  step     — a K-step stage-2 training trajectory: same batch, same
+             injected kNN per step, dropout off; reference = torch
+             autograd + clip_grad_value_ + torch.optim.Adam; ours = the
+             production make_main_optimizer chain. Per-step loss deltas.
+
+Each section reports max abs deltas and a PASS/FAIL verdict against a
+tolerance; the whole report is printed as one JSON document (commit it
+under docs/). Exit code 1 if any section fails.
+
+Usage:
+  python tools/ref_compare.py [--steps 8] [--tol 2e-3] [--out report.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+
+# d_common MUST be 128 here: the reference hard-codes embed_dim=128 in
+# its estimators (Model.py:285) and prod_knn_sample tiles its samples to
+# max(d_x,d_y,d_z)=d_common while VCMIEstimator tiles features to
+# embed_dim — any d_common != 128 crashes the reference's own CMI path
+# (torch.cat size mismatch at Model.py:174). mimrl_tpu generalizes
+# (tiles both to embed_dim), but the comparison must run where the
+# reference runs.
+BS, TIME_LEN, D_COMMON, D_A, D_V = 8, 12, 128, 5, 20
+BERT_LAYERS = 2
+CMI_KEYS = ("ac_t", "ta_c", "vc_t", "tv_c", "tc_a", "tc_v")
+# (X, Y, Z) bank triples per CMI estimator, in the reference's exact
+# call order (ref: Model.py:323-339)
+CMI_TRIPLES = {
+    "ac_t": ("A", "C", "T"), "ta_c": ("T", "A", "C"),
+    "vc_t": ("V", "C", "T"), "tv_c": ("T", "V", "C"),
+    "tc_a": ("T", "C", "A"), "tc_v": ("T", "C", "V"),
+}
+STAGE1_ORDER = ("f_t", "f_a", "f_v", "t_a", "t_v") + CMI_KEYS
+STAGE2_CHANNELS = ("f_t", "f_a", "f_v", "inv", "spec_t", "spec_a",
+                   "spec_v", "comp")
+
+
+def build_pair():
+    """Reference torch Model and mimrl_tpu model with IDENTICAL weights."""
+    from tools._ref_harness import (build_ref_model, load_reference,
+                                    make_ref_opt)
+
+    tmp = tempfile.mkdtemp(prefix="refcmp_")
+    ref = load_reference(tmp, bert_layers=BERT_LAYERS)
+    opt = make_ref_opt([
+        "--dataset", "mosi_Dec", "--batch_size", str(BS),
+        "--time_len", str(TIME_LEN), "--d_common", str(D_COMMON),
+        "--encoders", "gru",
+        "--d_hiddens", "12-3-128=4-3-128", "--d_outs", "12-3-128=4-3-128",
+        "--dropout_mlp", "0.0-0.0-0.0", "--dropout", "0.0-0.0-0.0-0.0",
+        "--bias", "--res_project", "1-1",
+        "--bound_type", "infonce", "--critic_type", "separate",
+        "--baseline_type", "constant", "--cmi_last_acticate", "sigmoid",
+        "--k_neighbor", "2", "--radius", "1.0",
+        "--loss", "MAE", "--learning_rate", "4e-3",
+        "--gradient_clip", "1.0", "--num_workers", "0",
+    ])
+    ref_model = build_ref_model(opt, d_t=768, d_a=D_A, d_v=D_V, seed=0)
+
+    import jax
+    import jax.numpy as jnp
+
+    from mimrl_tpu.models.bert import BertConfig
+    from mimrl_tpu.models.model import MimrlModel, init_full
+    from mimrl_tpu.utils.torch_import import reference_state_dict_to_params
+
+    model = MimrlModel(
+        d_t=768, d_a=D_A, d_v=D_V, d_common=D_COMMON, encoders="gru",
+        num_class=1, activate="gelu", time_len=TIME_LEN,
+        d_hiddens=((12, 3, 128), (4, 3, 128)), d_outs=((12, 3, 128), (4, 3, 128)),
+        dropout_mlp=(0.0, 0.0, 0.0), dropout=(0.0, 0.0, 0.0, 0.0),
+        bias=True, ln_first=False, res_project=(True, True),
+        critic_type="separate", baseline_type="constant",
+        bound_type="infonce", k_neighbor=2, radius=1.0,
+        cmi_last_acticate="sigmoid", fused_estimators=False,
+        bert_config=BertConfig(
+            vocab_size=30522, hidden_size=768,
+            num_hidden_layers=BERT_LAYERS, num_attention_heads=12,
+            intermediate_size=1536, max_position_embeddings=512,
+            dtype=jnp.float32),
+    )
+    inputs = make_inputs(seed=0)
+    template = init_full(model, {"params": jax.random.PRNGKey(0)},
+                         *[jnp.asarray(x) for x in inputs])["params"]
+    params = reference_state_dict_to_params(
+        ref_model.state_dict(), template)
+    return ref, opt, ref_model, model, params
+
+
+def make_inputs(seed=0):
+    rng = np.random.default_rng(seed)
+    return (
+        rng.integers(100, 30000, (BS, TIME_LEN)).astype(np.int64),
+        np.zeros((BS, TIME_LEN), np.int64),
+        np.ones((BS, TIME_LEN), np.int64),
+        rng.normal(size=(BS, TIME_LEN, D_A)).astype(np.float32),
+        rng.normal(size=(BS, TIME_LEN, D_V)).astype(np.float32),
+    )
+
+
+def make_bank(seed=1, n=64):
+    rng = np.random.default_rng(seed)
+    return {
+        "C": rng.normal(size=(n, 1)).astype(np.float32),
+        "F": rng.normal(size=(n, D_COMMON)).astype(np.float32),
+        "T": rng.normal(size=(n, D_COMMON)).astype(np.float32),
+        "A": rng.normal(size=(n, D_COMMON)).astype(np.float32),
+        "V": rng.normal(size=(n, D_COMMON)).astype(np.float32),
+    }
+
+
+def sample_knn_with_reference(ref, bank_np, seed):
+    """Produce the 6 conditional-product triples by calling the
+    reference's OWN prod_knn_sample (host numpy + sklearn) under a fixed
+    numpy seed — the exact samples are then replayed into both sides."""
+    import torch
+    prod = ref["Model"].prod_knn_sample
+    np.random.seed(seed)
+    out = {}
+    for name in CMI_KEYS:
+        x, y, z = (torch.from_numpy(bank_np[k]) for k in CMI_TRIPLES[name])
+        bx, by, bz = prod(x, y, z, BS, 2, 1.0)
+        out[name] = (bx.detach().numpy(), by.detach().numpy(),
+                     bz.detach().numpy())
+    return out
+
+
+class _ReplaySampler:
+    """Monkeypatch target for the reference's prod_knn_sample: replays
+    the recorded triples in call order (stage-1 and stage-2 each make 6
+    calls in CMI_KEYS order, ref: Model.py:323-339)."""
+
+    def __init__(self, knn):
+        self.queue = []
+        self.knn = knn
+        self.reset()
+
+    def reset(self):
+        import torch
+        self.queue = [
+            tuple(torch.from_numpy(a) for a in self.knn[name])
+            for name in CMI_KEYS]
+
+    def __call__(self, *a, **k):
+        return self.queue.pop(0)
+
+
+def forward_pair(ref_model, model, params, inputs):
+    import torch
+
+    import jax.numpy as jnp
+
+    ids, types, mask, audio, video = inputs
+    ref_model.eval()
+    with torch.no_grad():
+        ref_out = ref_model(
+            torch.from_numpy(ids), torch.from_numpy(types),
+            torch.from_numpy(mask), torch.from_numpy(audio),
+            torch.from_numpy(video), return_features=True)
+    ours = model.apply(
+        {"params": params}, jnp.asarray(ids.astype(np.int32)),
+        jnp.asarray(types.astype(np.int32)),
+        jnp.asarray(mask.astype(np.int32)), jnp.asarray(audio),
+        jnp.asarray(video), deterministic=True, return_features=True)
+    return ref_out, ours
+
+
+def diff_tuple(ref_out, ours, names):
+    deltas = {}
+    for i, name in enumerate(names):
+        r = np.asarray(ref_out[i].detach() if hasattr(ref_out[i], "detach")
+                       else ref_out[i], np.float32)
+        o = np.asarray(ours[i], np.float32).reshape(r.shape)
+        deltas[name] = float(np.max(np.abs(r - o)))
+    return deltas
+
+
+def compare_forward(ref_model, model, params, inputs):
+    ref_out, ours = forward_pair(ref_model, model, params, inputs)
+    return diff_tuple(ref_out, ours, ("pred", "F_F", "T_F", "A_F", "V_F"))
+
+
+def compare_losses(ref, ref_model, model, params, inputs, bank_np, knn):
+    """Stage-1 11 pairs + stage-2 8 channels from identical features +
+    identical kNN samples."""
+    import torch
+
+    import jax.numpy as jnp
+
+    ref_out, ours = forward_pair(ref_model, model, params, inputs)
+    labels = np.random.default_rng(3).normal(
+        size=(BS,)).astype(np.float32)
+
+    replay = _ReplaySampler(knn)
+    orig = ref["Model"].prod_knn_sample
+    ref["Model"].prod_knn_sample = replay
+    try:
+        bank_t = {k: torch.from_numpy(v) for k, v in bank_np.items()}
+        t_labels = torch.from_numpy(labels)
+        with torch.no_grad():
+            replay.reset()
+            mis1_r, losses1_r = ref_model.compute_vmi_loss_stage1(
+                ref_out[0], t_labels, *ref_out[1:5],
+                bank_t["C"], bank_t["F"], bank_t["T"], bank_t["A"],
+                bank_t["V"])
+            replay.reset()
+            mis2_r, losses2_r = ref_model.compute_vmi_loss_stage2(
+                ref_out[0], t_labels, *ref_out[1:5],
+                bank_t["C"], bank_t["F"], bank_t["T"], bank_t["A"],
+                bank_t["V"])
+    finally:
+        ref["Model"].prod_knn_sample = orig
+
+    from mimrl_tpu.models.model import MimrlModel
+    knn_j = {k: tuple(jnp.asarray(a) for a in v) for k, v in knn.items()}
+    feats = tuple(jnp.asarray(np.asarray(x)) for x in ours[1:5])
+    mis1_o, losses1_o = model.apply(
+        {"params": params}, jnp.asarray(labels), *feats, knn_j,
+        method=MimrlModel.compute_vmi_loss_stage1)
+    mis2_o, losses2_o = model.apply(
+        {"params": params}, jnp.asarray(labels), *feats, knn_j,
+        method=MimrlModel.compute_vmi_loss_stage2)
+
+    def dvec(ref_list, our_list, names):
+        return {n: float(abs(float(r) - float(o)))
+                for n, r, o in zip(names, ref_list, our_list)}
+
+    return {
+        "stage1_mi": dvec(mis1_r, mis1_o, STAGE1_ORDER),
+        "stage1_loss": dvec(losses1_r, losses1_o, STAGE1_ORDER),
+        "stage2_mi": dvec(mis2_r, mis2_o, STAGE2_CHANNELS),
+        "stage2_loss": dvec(losses2_r, losses2_o, STAGE2_CHANNELS),
+    }
+
+
+def compare_step_trajectory(ref, opt, ref_model, model, params, inputs,
+                            bank_np, n_steps):
+    """K stage-2 updates: task loss + 0.01*sum(stage-2 losses), identical
+    kNN per step; reference = torch Adam + clip_grad_value_ (the real
+    Solver recipe, Solver.py:221-236), ours = the production optimizer
+    chain (train/optim.make_main_optimizer)."""
+    import torch
+
+    import jax
+    import jax.numpy as jnp
+
+    from mimrl_tpu.core.config import MimrlConfig
+    from mimrl_tpu.models.model import MimrlModel
+    from mimrl_tpu.train.optim import (make_main_optimizer, merge_params,
+                                       partition_params)
+
+    labels = np.random.default_rng(3).normal(size=(BS,)).astype(np.float32)
+    coef2 = 0.01
+    knn_per_step = [sample_knn_with_reference(ref, bank_np, seed=100 + s)
+                    for s in range(n_steps)]
+
+    # ---- reference side ----
+    ref_model.train()  # dropout is 0.0 everywhere, so still deterministic
+    t_in = [torch.from_numpy(x) for x in inputs]
+    t_labels = torch.from_numpy(labels)
+    bank_t = {k: torch.from_numpy(v) for k, v in bank_np.items()}
+    vmi_p, main_p, bert_p = [], [], []
+    for name, p in ref_model.named_parameters():
+        if "bert" in name:
+            bert_p.append(p)
+        elif "vmi" in name or "vcmi" in name:
+            vmi_p.append(p)
+        else:
+            main_p.append(p)
+    optim = torch.optim.Adam(
+        [{"params": bert_p, "lr": 4e-3}, {"params": main_p, "lr": 4e-3}],
+        lr=4e-3, weight_decay=0.0)
+    replay = _ReplaySampler(knn_per_step[0])
+    orig = ref["Model"].prod_knn_sample
+    ref["Model"].prod_knn_sample = replay
+    ref_losses = []
+    try:
+        for s in range(n_steps):
+            replay.knn = knn_per_step[s]
+            replay.reset()
+            out = ref_model(*t_in, return_features=True)
+            task = torch.mean(torch.abs(
+                out[0].reshape(-1, 1) - t_labels.reshape(-1, 1)))
+            _, losses2 = ref_model.compute_vmi_loss_stage2(
+                out[0], t_labels, *out[1:5], bank_t["C"], bank_t["F"],
+                bank_t["T"], bank_t["A"], bank_t["V"])
+            loss = task + coef2 * sum(losses2)
+            optim.zero_grad()
+            loss.backward()
+            torch.nn.utils.clip_grad_value_(
+                [p for p in ref_model.parameters() if p.requires_grad],
+                1.0)
+            optim.step()
+            ref_losses.append(float(loss))
+    finally:
+        ref["Model"].prod_knn_sample = orig
+
+    # ---- our side: production optimizer chain ----
+    cfg = MimrlConfig(
+        dataset="mosi_Dec", batch_size=BS, time_len=TIME_LEN,
+        d_common=D_COMMON,
+        d_hiddens=[[12, 3, 128], [4, 3, 128]], d_outs=[[12, 3, 128], [4, 3, 128]],
+        dropout_mlp=[0.0, 0.0, 0.0], dropout=[0.0, 0.0, 0.0, 0.0],
+        bias=True, res_project=[True, True], loss="MAE",
+        learning_rate=4e-3, gradient_clip=1.0, weight_decay=0.0,
+        loss_mi_coefficient1=[1.0] * 11,
+        loss_mi_coefficient2=[coef2] * 8, k_neighbor=2)
+    p_main, p_bert, p_vmi = partition_params(params)
+    opt_main = make_main_optimizer(cfg, p_main, p_bert)
+    opt_state = opt_main.init(merge_params(p_main, p_bert))
+    merged_mb = merge_params(p_main, p_bert)
+
+    j_in = (jnp.asarray(inputs[0].astype(np.int32)),
+            jnp.asarray(inputs[1].astype(np.int32)),
+            jnp.asarray(inputs[2].astype(np.int32)),
+            jnp.asarray(inputs[3]), jnp.asarray(inputs[4]))
+    j_labels = jnp.asarray(labels)
+
+    import optax
+
+    def loss_fn(mb_params, knn_j):
+        full = dict(mb_params, **p_vmi)
+        out = model.apply({"params": full}, *j_in, deterministic=True,
+                          return_features=True)
+        task = jnp.mean(jnp.abs(out[0].reshape(-1, 1)
+                                - j_labels.reshape(-1, 1)))
+        _, losses2 = model.apply(
+            {"params": full}, j_labels, *out[1:5], knn_j,
+            method=MimrlModel.compute_vmi_loss_stage2)
+        return task + coef2 * sum(losses2), (task, sum(losses2))
+
+    @jax.jit
+    def step(mb_params, opt_state, knn_j):
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            mb_params, knn_j)
+        updates, opt_state = opt_main.update(grads, opt_state, mb_params)
+        return optax.apply_updates(mb_params, updates), opt_state, loss, aux
+
+    our_losses = []
+    for s in range(n_steps):
+        knn_j = {k: tuple(jnp.asarray(a) for a in v)
+                 for k, v in knn_per_step[s].items()}
+        merged_mb, opt_state, loss, aux = step(merged_mb, opt_state, knn_j)
+        our_losses.append(float(loss))
+        if os.environ.get("REFCMP_DEBUG"):
+            print(f"our step {s}: task={float(aux[0]):.6f} "
+                  f"mi_sum={float(aux[1]):.6f}", flush=True)
+
+    deltas = [abs(r - o) for r, o in zip(ref_losses, our_losses)]
+    return {"ref_losses": ref_losses, "our_losses": our_losses,
+            "per_step_abs_delta": deltas}
+
+
+def compare_solver_end_to_end(ref, epochs=4, n_train=64):
+    """Run the reference Solver.solve() end to end (its own DataLoader,
+    two-stage schedule, selection, metrics) against mimrl_tpu's Solver on
+    the SAME pickles, both from the SAME initial weights (torch state
+    transferred at init). Remaining divergence sources are the two
+    frameworks' independent RNG streams (batch shuffle order + kNN
+    subset sampling), so per-epoch deltas are stochastic-level, not
+    bitwise: the verdict tolerance is correspondingly loose and the
+    point of the diff is catching SEMANTIC drift (wrong loss scale,
+    wrong MI channel wiring, wrong metric routing), which shows up as
+    O(1) divergence, not O(0.1)."""
+    import tempfile
+
+    import torch
+
+    from tools._ref_harness import make_ref_opt, write_shim_vocab
+
+    data_dir = ref["Config"].Data_path_DecLab
+    from mimrl_tpu.data.synthetic import make_dec_fixture
+    make_dec_fixture(data_dir, "mosi", n_per_split=(n_train, 16, 16),
+                     d_audio=D_A, d_video=D_V, max_len=TIME_LEN, seed=11)
+
+    common = [
+        "--dataset", "mosi_Dec", "--batch_size", str(BS),
+        "--time_len", str(TIME_LEN), "--d_common", str(D_COMMON),
+        "--encoders", "gru",
+        "--d_hiddens", "12-3-128=4-3-128", "--d_outs", "12-3-128=4-3-128",
+        "--dropout_mlp", "0.0-0.0-0.0", "--dropout", "0.0-0.0-0.0-0.0",
+        "--bias", "--res_project", "1-1",
+        "--bound_type", "infonce", "--critic_type", "separate",
+        "--baseline_type", "constant", "--cmi_last_acticate", "sigmoid",
+        "--k_neighbor", "2", "--radius", "1.0", "--stage1_n", "1",
+        "--loss", "MAE", "--learning_rate", "4e-3",
+        "--gradient_clip", "1.0", "--num_workers", "0",
+        "--epochs_num", str(epochs), "--seed", "0",
+    ]
+    # --parallel is REQUIRED by the reference: its loss glue hard-codes
+    # the DataParallel .module hop (Customization.py:100,107); the
+    # harness substitutes a 1-device pass-through wrapper on CPU
+    opt = make_ref_opt(common + ["--task_name", "refcmp", "--parallel"])
+
+    # --- reference run, recording per-epoch train/eval returns ---
+    RefSolver = ref["Solver"].Solver
+    rec = {"train": [], "valid": [], "test": []}
+    orig_train, orig_eval = RefSolver.train, RefSolver.evaluate
+
+    def train_wrap(self, *a, **k):
+        out = orig_train(self, *a, **k)
+        rec["train"].append({
+            "loss": float(out[0]), "loss_mi": float(out[1]),
+            "mis": [float(x) for x in out[2]],
+            "score": {k2: float(v) for k2, v in out[3].items()}})
+        return out
+
+    def eval_wrap(self, loader, *a, **k):
+        out = orig_eval(self, loader, *a, **k)
+        split = "valid" if loader is self.valid_loader else "test"
+        rec[split].append({
+            "loss": float(out[0]),
+            "score": {k2: float(v) for k2, v in out[2].items()}})
+        return out
+
+    RefSolver.train, RefSolver.evaluate = train_wrap, eval_wrap
+    run_root = tempfile.mkdtemp(prefix="refcmp_run_")
+    cwd = os.getcwd()
+    init_sd = None
+    try:
+        os.chdir(run_root)  # reference writes ./TaskRuning/<task_name>
+        import random as _random
+        _random.seed(0)
+        np.random.seed(0)
+        torch.manual_seed(0)
+        solver = RefSolver(opt)
+        init_sd = {k: v.detach().clone().numpy()
+                   for k, v in solver.model.state_dict().items()}
+        solver.solve()
+    finally:
+        os.chdir(cwd)
+        RefSolver.train, RefSolver.evaluate = orig_train, orig_eval
+
+    # --- mimrl_tpu run on the same pickles, same initial weights ---
+    from mimrl_tpu.core.config import MimrlConfig
+    from mimrl_tpu.train.solver import Solver as OurSolver
+    from mimrl_tpu.train.optim import merge_params, partition_params
+    from mimrl_tpu.utils.torch_import import reference_state_dict_to_params
+
+    cfg = MimrlConfig(
+        task_name="ourcmp", task_dir=tempfile.mkdtemp(prefix="refcmp_our_"),
+        dataset="mosi_Dec", data_dir=data_dir, batch_size=BS,
+        time_len=TIME_LEN, d_common=D_COMMON, encoders="gru",
+        d_hiddens=[[12, 3, 128], [4, 3, 128]],
+        d_outs=[[12, 3, 128], [4, 3, 128]],
+        dropout_mlp=[0.0, 0.0, 0.0], dropout=[0.0, 0.0, 0.0, 0.0],
+        bias=True, res_project=[True, True], loss="MAE",
+        learning_rate=4e-3, gradient_clip=1.0, stage1_n=1,
+        k_neighbor=2, epochs_num=epochs, seed=0, num_workers=0,
+        loss_mi_coefficient1=[1.0] * 11, loss_mi_coefficient2=[0.01] * 8,
+        bert_layers=BERT_LAYERS, bert_heads=12, bert_hidden=768,
+        bert_intermediate=1536, bert_dropout=0.0,
+        bert_vocab=write_shim_vocab(), compute_dtype="float32")
+    ours = OurSolver(cfg)
+    template = merge_params(ours.params_main, ours.params_bert,
+                            ours.params_vmi)
+    params = reference_state_dict_to_params(init_sd, template)
+    p_main, p_bert, p_vmi = partition_params(params)
+    ours.params_main, ours.params_bert, ours.params_vmi = (
+        p_main, p_bert, p_vmi)
+    ours.solve()
+
+    import json as _json
+    scalars = [_json.loads(l) for l in
+               open(os.path.join(cfg.task_dir, "ourcmp", "scalars.jsonl"))]
+
+    def series(tag):
+        return [s["value"] for s in scalars if s["tag"] == tag]
+
+    our_train_loss = series("Train/Loss")
+    ref_train_loss = [r["loss"] for r in rec["train"]]
+    deltas = [abs(a - b) for a, b in zip(ref_train_loss, our_train_loss)]
+    mi_tags = ("ft", "fa", "fv", "in", "spec_t", "spec_a", "spec_v", "comp")
+    our_mis = {t: series(f"Train/MI_{t}") for t in mi_tags}
+    ref_mis = {t: [r["mis"][i] for r in rec["train"]]
+               for i, t in enumerate(mi_tags)}
+    mi_deltas = {
+        t: [abs(a - b) for a, b in zip(ref_mis[t], our_mis[t])]
+        for t in mi_tags if our_mis[t]}
+    valid_last = rec["valid"][-1]["score"] if rec["valid"] else {}
+    return {
+        "epochs": epochs,
+        "ref_train_loss": ref_train_loss, "our_train_loss": our_train_loss,
+        "train_loss_abs_delta": deltas,
+        "mi_channel_abs_delta_last_epoch":
+            {t: d[-1] for t, d in mi_deltas.items()},
+        "ref_final_valid_score": valid_last,
+        "note": ("same pickles, same initial weights; deltas are "
+                 "stochastic-level (independent shuffle + kNN RNG "
+                 "streams), semantic drift would be O(1)"),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=8)
+    ap.add_argument("--tol", type=float, default=2e-3)
+    ap.add_argument("--solver", action="store_true",
+                    help="also run the end-to-end Solver-vs-Solver "
+                         "comparison (slow: trains both frameworks)")
+    ap.add_argument("--epochs", type=int, default=4)
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+
+    ref, opt, ref_model, model, params = build_pair()
+    inputs = make_inputs()
+    bank_np = make_bank()
+    knn = sample_knn_with_reference(ref, bank_np, seed=7)
+
+    report = {"config": {
+        "bs": BS, "time_len": TIME_LEN, "d_common": D_COMMON,
+        "bert_layers": BERT_LAYERS, "steps": args.steps, "tol": args.tol,
+        "note": ("identical weights via utils/torch_import; identical "
+                 "kNN samples replayed from the reference's own "
+                 "prod_knn_sample; BERT is a shimmed random-init "
+                 "bert-base layout (no HF cache in this env)")}}
+
+    report["forward"] = compare_forward(ref_model, model, params, inputs)
+    report["losses"] = compare_losses(ref, ref_model, model, params,
+                                      inputs, bank_np, knn)
+    report["trajectory"] = compare_step_trajectory(
+        ref, opt, ref_model, model, params, inputs, bank_np, args.steps)
+    if args.solver:
+        report["solver_end_to_end"] = compare_solver_end_to_end(
+            ref, epochs=args.epochs)
+
+    # Trajectory verdict uses the first 3 steps: with identical weights
+    # + identical kNN these pin loss/grad/optimizer semantics (step 0 is
+    # bitwise). Later steps drift chaotically — MAE's subgradient flips
+    # sign on 1-ulp prediction differences, so torch-vs-XLA reduction
+    # order compounds; the full series is reported for inspection.
+    worst = max(
+        max(report["forward"].values()),
+        max(max(d.values()) for d in report["losses"].values()),
+        max(report["trajectory"]["per_step_abs_delta"][:3]),
+    )
+    report["worst_abs_delta"] = worst
+    report["verdict"] = "PASS" if worst <= args.tol else "FAIL"
+    text = json.dumps(report, indent=1)
+    print(text)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(text + "\n")
+    sys.exit(0 if report["verdict"] == "PASS" else 1)
+
+
+if __name__ == "__main__":
+    main()
