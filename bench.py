@@ -19,6 +19,11 @@ BOTH schedule semantics are measured and reported in the same JSON line
   across the stage1_n critic passes — the critics' inputs differ from
   the reference schedule only by dropout resampling of a frozen model's
   features).
+- `value_exact_schedule` / `vs_baseline_exact_schedule` — the
+  reference-EXACT math schedule (fresh forward per critic pass,
+  identical batch/dropout-draw counts) under scanned dispatch: what a
+  user gets from `--epoch_scan` WITHOUT opting into --stage1_cached
+  (skip via BENCH_SKIP_EXACT=1).
 - `value_default_semantics` / `vs_baseline_default_semantics` — the
   solver's default reference-exact schedule: per-batch dispatches, a
   fresh forward for every critic pass.
@@ -162,6 +167,7 @@ def main():
     epoch_scan = os.environ.get("BENCH_EPOCH_SCAN", "1") == "1"
     new_bank = FeatureBank.create(n_bank, n_bank, d_common)
     state = (p_main, p_bert, p_vmi, opt_vmi_state, opt_main_state)
+    exact_sps = None
 
     if epoch_scan:
         # the solver's --epoch_scan mode: the whole measured window is
@@ -176,10 +182,11 @@ def main():
         # stage-2 train_epoch cost (NOT a training mode)
         skip_stage1 = os.environ.get("BENCH_SKIP_STAGE1", "0") == "1"
 
-        def one_window(p_main, p_bert, p_vmi, ovs, oms, new_bank, r):
+        def one_window(p_main, p_bert, p_vmi, ovs, oms, new_bank, r,
+                       cached=stage1_cached):
             if skip_stage1:
                 l1 = jnp.float32(0)
-            elif stage1_cached:
+            elif cached:
                 # --stage1_cached: critics sweep the epoch-stale bank,
                 # no stage-1 forward at all
                 p_vmi, ovs, l1 = steps.critic_epoch_cached(
@@ -197,18 +204,31 @@ def main():
             return (p_main, p_bert, p_vmi, ovs, oms, new_bank,
                     (l1, losses[-1]))
 
-        out = one_window(*state, new_bank, rng)
-        jax.block_until_ready(out[-1])
-        state, new_bank = out[:5], out[5]
-
-        t0 = time.perf_counter()
-        n_windows = 3
-        for i in range(n_windows):
-            out = one_window(*state, new_bank, jax.random.fold_in(rng, i))
+        def measure_windows(cached, n_windows=3):
+            nonlocal state, new_bank
+            out = one_window(*state, new_bank, rng, cached=cached)
+            jax.block_until_ready(out[-1])
             state, new_bank = out[:5], out[5]
-        jax.block_until_ready(out[-1])
-        elapsed = time.perf_counter() - t0
-        samples_per_sec = bs * n_steps * n_windows / elapsed
+            t0 = time.perf_counter()
+            for i in range(n_windows):
+                out = one_window(*state, new_bank,
+                                 jax.random.fold_in(rng, i), cached=cached)
+                state, new_bank = out[:5], out[5]
+            jax.block_until_ready(out[-1])
+            return bs * n_steps * n_windows / (time.perf_counter() - t0)
+
+        samples_per_sec = measure_windows(stage1_cached)
+
+        # reference-EXACT schedule under scanned dispatch: a fresh
+        # forward for every critic pass (identical math, batch count and
+        # dropout-draw count to the reference's two-stage loop — only
+        # the per-batch python dispatches are fused into two scanned
+        # XLA programs). This is the honest "same semantics, TPU-native
+        # execution" number between the perf mode (epoch-stale stage-1
+        # bank) and the per-batch default window below.
+        if (stage1_cached and not skip_stage1
+                and os.environ.get("BENCH_SKIP_EXACT", "0") != "1"):
+            exact_sps = measure_windows(False)
     else:
         # --- warmup / compile ---
         out = one_batch(*state, new_bank, 0, rng)
@@ -398,6 +418,11 @@ def main():
         "vs_baseline": round(vs_baseline, 3) if vs_baseline else None,
         "quant": quant,
         "baseline_dtype": os.environ.get("BENCH_BASELINE_DTYPE", dtype),
+        "value_exact_schedule":
+            round(exact_sps, 2) if exact_sps else None,
+        "vs_baseline_exact_schedule":
+            round(exact_sps / base_sps, 3)
+            if (exact_sps and vs_baseline) else None,
         "value_default_semantics":
             round(default_sps, 2) if default_sps else None,
         "vs_baseline_default_semantics":
