@@ -20,10 +20,13 @@ BOTH schedule semantics are measured and reported in the same JSON line
   the reference schedule only by dropout resampling of a frozen model's
   features).
 - `value_exact_schedule` / `vs_baseline_exact_schedule` — the
-  reference-EXACT math schedule (fresh forward per critic pass,
-  identical batch/dropout-draw counts) under scanned dispatch: what a
-  user gets from `--epoch_scan` WITHOUT opting into --stage1_cached
-  (skip via BENCH_SKIP_EXACT=1).
+  reference-EXACT math schedule (a FRESH forward with a new dropout
+  draw per critic pass per batch, steps.critic_epoch_fresh) under
+  scanned dispatch: what a user gets from `--epoch_scan` alone since
+  round 3 (skip this and the next window via BENCH_SKIP_EXACT=1).
+- `value_fast_stage1` / `vs_baseline_fast_stage1` — `--epoch_scan
+  --fast_stage1`: one forward per batch, critics reuse the cached
+  features across the stage1_n passes.
 - `value_default_semantics` / `vs_baseline_default_semantics` — the
   solver's default reference-exact schedule: per-batch dispatches, a
   fresh forward for every critic pass.
@@ -167,7 +170,7 @@ def main():
     epoch_scan = os.environ.get("BENCH_EPOCH_SCAN", "1") == "1"
     new_bank = FeatureBank.create(n_bank, n_bank, d_common)
     state = (p_main, p_bert, p_vmi, opt_vmi_state, opt_main_state)
-    exact_sps = None
+    exact_sps = fast_sps = None
 
     if epoch_scan:
         # the solver's --epoch_scan mode: the whole measured window is
@@ -183,18 +186,24 @@ def main():
         skip_stage1 = os.environ.get("BENCH_SKIP_STAGE1", "0") == "1"
 
         def one_window(p_main, p_bert, p_vmi, ovs, oms, new_bank, r,
-                       cached=stage1_cached):
-            if skip_stage1:
+                       stage1_mode):
+            if stage1_mode == "skip":
                 l1 = jnp.float32(0)
-            elif cached:
+            elif stage1_mode == "cached":
                 # --stage1_cached: critics sweep the epoch-stale bank,
                 # no stage-1 forward at all
                 p_vmi, ovs, l1 = steps.critic_epoch_cached(
                     p_main, p_bert, p_vmi, ovs, bank,
                     jax.random.fold_in(r, 0), n_passes=cfg.stage1_n,
                     nb=min(n_steps, n_bank // bs))
-            else:
+            elif stage1_mode == "fast":
+                # --fast_stage1: one forward per batch, critics reuse
+                # the cached features across the stage1_n passes
                 p_vmi, ovs, l1 = steps.critic_epoch(
+                    p_main, p_bert, p_vmi, ovs, batches_stack, labels_stack,
+                    bank, jax.random.fold_in(r, 0), n_passes=cfg.stage1_n)
+            else:  # "fresh": reference-exact, new forward per pass
+                p_vmi, ovs, l1 = steps.critic_epoch_fresh(
                     p_main, p_bert, p_vmi, ovs, batches_stack, labels_stack,
                     bank, jax.random.fold_in(r, 0), n_passes=cfg.stage1_n)
             (p_main, p_bert, oms, losses, mis, outs, new_bank) = (
@@ -204,31 +213,35 @@ def main():
             return (p_main, p_bert, p_vmi, ovs, oms, new_bank,
                     (l1, losses[-1]))
 
-        def measure_windows(cached, n_windows=3):
+        def measure_windows(stage1_mode, n_windows=3):
             nonlocal state, new_bank
-            out = one_window(*state, new_bank, rng, cached=cached)
+            out = one_window(*state, new_bank, rng, stage1_mode)
             jax.block_until_ready(out[-1])
             state, new_bank = out[:5], out[5]
             t0 = time.perf_counter()
             for i in range(n_windows):
                 out = one_window(*state, new_bank,
-                                 jax.random.fold_in(rng, i), cached=cached)
+                                 jax.random.fold_in(rng, i), stage1_mode)
                 state, new_bank = out[:5], out[5]
             jax.block_until_ready(out[-1])
             return bs * n_steps * n_windows / (time.perf_counter() - t0)
 
-        samples_per_sec = measure_windows(stage1_cached)
+        headline_mode = ("skip" if skip_stage1
+                         else "cached" if stage1_cached else "fresh")
+        samples_per_sec = measure_windows(headline_mode)
 
-        # reference-EXACT schedule under scanned dispatch: a fresh
-        # forward for every critic pass (identical math, batch count and
-        # dropout-draw count to the reference's two-stage loop — only
-        # the per-batch python dispatches are fused into two scanned
-        # XLA programs). This is the honest "same semantics, TPU-native
-        # execution" number between the perf mode (epoch-stale stage-1
-        # bank) and the per-batch default window below.
-        if (stage1_cached and not skip_stage1
+        # the two intermediate schedule semantics, both scanned:
+        # - exact ("fresh"): reference-EXACT stage 1 — fresh forward
+        #   (new dropout draw) per critic pass per batch; identical
+        #   math, batch and dropout-draw counts to the reference's
+        #   two-stage loop; only the per-batch python dispatches are
+        #   fused into two scanned XLA programs.
+        # - fast_stage1: one forward per batch, critics reuse the
+        #   cached features across the stage1_n passes.
+        if (headline_mode == "cached"
                 and os.environ.get("BENCH_SKIP_EXACT", "0") != "1"):
-            exact_sps = measure_windows(False)
+            exact_sps = measure_windows("fresh")
+            fast_sps = measure_windows("fast")
     else:
         # --- warmup / compile ---
         out = one_batch(*state, new_bank, 0, rng)
@@ -423,6 +436,11 @@ def main():
         "vs_baseline_exact_schedule":
             round(exact_sps / base_sps, 3)
             if (exact_sps and vs_baseline) else None,
+        "value_fast_stage1":
+            round(fast_sps, 2) if fast_sps else None,
+        "vs_baseline_fast_stage1":
+            round(fast_sps / base_sps, 3)
+            if (fast_sps and vs_baseline) else None,
         "value_default_semantics":
             round(default_sps, 2) if default_sps else None,
         "vs_baseline_default_semantics":

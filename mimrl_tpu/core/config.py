@@ -181,8 +181,11 @@ class MimrlConfig:
     # host, which is expensive on tunneled/remote devices.
     save_latest_every: int = 5
     # run each training/eval stage as ONE scanned XLA program per epoch
-    # (host stacks the epoch's batches and dispatches once); implies the
-    # fast_stage1 feature-reuse semantics for stage 1
+    # (host stacks the epoch's batches and dispatches once). Dispatch
+    # fusion ONLY: stage-1 semantics stay reference-exact (fresh forward
+    # per critic pass) unless --fast_stage1 / --stage1_cached opt into
+    # feature reuse. (Through round 2, epoch_scan implied fast_stage1
+    # semantics; the flags are orthogonal since round 3.)
     epoch_scan: bool = False
     # deepest stage-1 perf mode (requires --epoch_scan): train critics on
     # the epoch-stale feature bank written by the previous epoch's stage-2

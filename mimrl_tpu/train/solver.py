@@ -471,9 +471,20 @@ class Solver:
                         self.opt_vmi_state, self.bank, self._next_rng(),
                         n_passes=opt.stage1_n,
                         nb=len(self.train_loader)))
-            else:
+            elif opt.fast_stage1:
+                # --fast_stage1 under scan: one forward per batch,
+                # critics reuse the cached features across the
+                # stage1_n passes
                 (self.params_vmi, self.opt_vmi_state, loss_mi) = (
                     self.steps.critic_epoch(
+                        self.params_main, self.params_bert, self.params_vmi,
+                        self.opt_vmi_state, batches, labels_stack, self.bank,
+                        self._next_rng(), n_passes=opt.stage1_n))
+            else:
+                # reference-exact schedule: fresh forward (new dropout
+                # draw) per critic pass per batch, scanned
+                (self.params_vmi, self.opt_vmi_state, loss_mi) = (
+                    self.steps.critic_epoch_fresh(
                         self.params_main, self.params_bert, self.params_vmi,
                         self.opt_vmi_state, batches, labels_stack, self.bank,
                         self._next_rng(), n_passes=opt.stage1_n))

@@ -360,6 +360,56 @@ class StepFactory:
                 pass_body, (params_vmi, opt_state), upd_keys)
             return params_vmi, opt_state, jnp.sum(pass_losses)
 
+        def critic_epoch_fresh(params_main, params_bert, params_vmi,
+                               opt_state, batches, labels_stack, bank, rng,
+                               n_passes: int):
+            """Reference-EXACT stage 1 under scan: a FRESH forward (new
+            dropout draw) for every critic pass of every batch — the
+            schedule the reference's stage-1 loop executes (it re-runs
+            the whole train loader through model.train() stage1_n
+            times, ref: Solver.py:201-214). Identical math and RNG
+            structure to scanning `critic_step` over passes x batches;
+            only the per-batch python dispatches are fused away. Used
+            by --epoch_scan when neither --fast_stage1 nor
+            --stage1_cached opted into feature reuse."""
+            nb = labels_stack.shape[0]
+
+            def upd_body(carry, inp):
+                p_vmi, opt_st = carry
+                batch, labels, k = inp
+                k_drop, k_knn = jax.random.split(k)
+                merged = merge_params(params_main, params_bert, p_vmi)
+                out, F_F, T_F, A_F, V_F = forward(merged, batch, k_drop,
+                                                  deterministic=False)
+                feats = jax.lax.stop_gradient((F_F, T_F, A_F, V_F))
+                knn = sample_all_knn(k_knn, bank, cfg.batch_size,
+                                     cfg.k_neighbor, cfg.radius)
+
+                def loss_fn(p):
+                    merged_v = merge_params(params_main, params_bert, p)
+                    mis, losses = stage_loss(merged_v, labels, feats, knn, 1)
+                    return sum(l * c for l, c in zip(losses, c1))
+
+                loss, grads = jax.value_and_grad(loss_fn)(p_vmi)
+                updates, new_opt_st = opt_vmi.update(grads, opt_st, p_vmi)
+                new_p = optax.apply_updates(p_vmi, updates)
+                new_p, new_opt_st, _ = _guarded_update(
+                    cfg.skip_nonfinite_updates, loss, grads, new_p, p_vmi,
+                    new_opt_st, opt_st)
+                return (new_p, new_opt_st), loss
+
+            keys = jax.random.split(rng, nb * n_passes)
+            keys = keys.reshape((n_passes, nb) + keys.shape[1:])
+
+            def pass_body(carry, keys_pass):
+                carry, losses = jax.lax.scan(
+                    upd_body, carry, (batches, labels_stack, keys_pass))
+                return carry, jnp.sum(losses)
+
+            (params_vmi, opt_state), pass_losses = jax.lax.scan(
+                pass_body, (params_vmi, opt_state), keys)
+            return params_vmi, opt_state, jnp.sum(pass_losses)
+
         def critic_epoch_cached(params_main, params_bert, params_vmi,
                                 opt_state, bank, rng, n_passes: int,
                                 nb: int):
@@ -534,6 +584,9 @@ class StepFactory:
         self.critic_epoch = jax.jit(critic_epoch,
                                     static_argnames=("n_passes",),
                                     donate_argnums=(2, 3))
+        self.critic_epoch_fresh = jax.jit(critic_epoch_fresh,
+                                          static_argnames=("n_passes",),
+                                          donate_argnums=(2, 3))
         self.critic_epoch_cached = jax.jit(
             critic_epoch_cached, static_argnames=("n_passes", "nb"),
             donate_argnums=(2, 3))

@@ -175,6 +175,77 @@ def test_cached_sweep_close_to_fresh_when_bank_matches(dec_root,
                                    atol=1e-5)
 
 
+def test_fresh_epoch_matches_per_batch_critic_steps(dec_root,
+                                                    tmp_path_factory):
+    """critic_epoch_fresh (the reference-exact scanned stage 1, round 3)
+    must reproduce a hand-driven per-batch critic_step chain with its
+    exact key schedule (split(rng, nb*n_passes) in pass-major order):
+    fresh forward + new dropout draw per critic pass per batch. This
+    pins the scan order, the per-update key split (k_drop/k_knn), and
+    that the forward sees the CARRIED critic params merged in — i.e.
+    --epoch_scan alone is dispatch fusion, not a semantics change."""
+    import jax
+    import jax.numpy as jnp
+
+    # dropout ON (cfg default leaves bert_dropout at its nonzero
+    # default) so the test discriminates fresh-per-pass draws from
+    # feature reuse; threefry + single device for cross-program
+    # bit-stability (see test_cached_sweep_matches_per_batch_reference)
+    solver = Solver(cfg_for(dec_root, str(tmp_path_factory.mktemp("fr")),
+                            rng_impl="threefry", mesh_data=1,
+                            stage1_cached=False,
+                            dropout=[0.1, 0.1, 0.1, 0.1]))
+    batches, labels_stack, _, _ = solver._stack_epoch(solver.train_loader)
+    nb = labels_stack.shape[0]
+    n_passes = 2
+
+    k = jax.random.split(jax.random.PRNGKey(3), 5)
+    n_bank, d = solver.n_bank, solver.opt.d_common
+    bank = solver.bank.replace(
+        C=jax.random.normal(k[0], (n_bank, 1)),
+        F=jax.random.normal(k[1], (n_bank, d)),
+        T=jax.random.normal(k[2], (n_bank, d)),
+        A=jax.random.normal(k[3], (n_bank, d)),
+        V=jax.random.normal(k[4], (n_bank, d)))
+
+    rng = solver._next_rng()
+    copy = lambda t: jax.tree_util.tree_map(jnp.copy, t)
+
+    keys = jax.random.split(rng, nb * n_passes)
+    keys = keys.reshape((n_passes, nb) + keys.shape[1:])
+    pv_ref = copy(solver.params_vmi)
+    ovs_ref = copy(solver.opt_vmi_state)
+    loss_ref = 0.0
+    for p in range(n_passes):
+        for i in range(nb):
+            batch_i = jax.tree_util.tree_map(lambda x: x[i], batches)
+            pv_ref, ovs_ref, loss, _ = solver.steps.critic_step(
+                solver.params_main, solver.params_bert, pv_ref, ovs_ref,
+                batch_i, labels_stack[i], bank, keys[p, i])
+            loss_ref += float(loss)
+
+    pv2, _, l2 = solver.steps.critic_epoch_fresh(
+        solver.params_main, solver.params_bert, copy(solver.params_vmi),
+        copy(solver.opt_vmi_state), batches, labels_stack, bank, rng,
+        n_passes=n_passes)
+
+    np.testing.assert_allclose(loss_ref, float(l2), rtol=1e-3)
+    lr = solver.opt.learning_rate
+    for a, b in zip(jax.tree_util.tree_leaves(pv_ref),
+                    jax.tree_util.tree_leaves(pv2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=n_passes * nb * lr, rtol=0)
+
+    # and the semantic distinction is real: with dropout on, the
+    # feature-reuse sweep (critic_epoch) produces a DIFFERENT loss sum
+    # than fresh-per-pass draws
+    _, _, l_reuse = solver.steps.critic_epoch(
+        solver.params_main, solver.params_bert, copy(solver.params_vmi),
+        copy(solver.opt_vmi_state), batches, labels_stack, bank, rng,
+        n_passes=n_passes)
+    assert abs(float(l_reuse) - float(l2)) > 1e-6
+
+
 @pytest.mark.slow
 def test_stage1_cached_converges(dec_root, tmp_path_factory):
     """Convergence guard: the cached-stage-1 solver must still learn and
