@@ -429,6 +429,10 @@ def main():
         "mfu": round(tflops / peak, 4),
         "peak_tflops_nominal": peak,
         "vs_baseline": round(vs_baseline, 3) if vs_baseline else None,
+        "baseline_samples_per_sec":
+            round(base_sps, 2) if base_sps else None,
+        "baseline_f32_samples_per_sec":
+            round(base_sps_f32, 2) if base_sps_f32 else None,
         "quant": quant,
         "baseline_dtype": os.environ.get("BENCH_BASELINE_DTYPE", dtype),
         "value_exact_schedule":

@@ -153,15 +153,28 @@ class BatchPipeline:
             texts.append(" ".join(words))
         return self._tokenize(texts)
 
-    def __iter__(self) -> Iterator[Dict]:
+    @property
+    def static_tensors(self) -> bool:
+        """True when every tensor an epoch draws from is fixed across
+        epochs (pre-padded modalities, tokenize-at-load or no text) —
+        i.e. an epoch is fully described by its index plan. AVEC's
+        per-epoch random-word tokenization is the one counterexample."""
+        return (self.ds.text_words is None
+                or self._token_cache is not None)
+
+    def epoch_index_plan(self, rng: np.random.Generator):
+        """The epoch's batch composition as indices: ([NB, bs] int row
+        ids into the dataset-order tensors, [NB, bs] float32 sample
+        mask). Exactly the shuffle + cycle-pad logic __iter__ executes
+        (shared code, so the two can never drift); with static_tensors
+        this is ALL the per-epoch information there is — the solver's
+        device-side-shuffle fast path ships just this plan to the chip
+        instead of re-staging the gathered epoch."""
         n = len(self.ds)
-        rng = np.random.default_rng(self.seed + self._epoch)
         order = np.arange(n)
         if self.shuffle:
             rng.shuffle(order)
-        tokens = self._epoch_tokens(rng)
-        self._epoch += 1
-
+        idx_rows, mask_rows = [], []
         for b in range(self.n_batches):
             idx = order[b * self.bs:(b + 1) * self.bs]
             mask = np.ones(len(idx), np.float32)
@@ -171,6 +184,18 @@ class BatchPipeline:
                 idx = np.concatenate([idx, extra])
                 mask = np.concatenate(
                     [mask, np.zeros(self.bs - len(mask), np.float32)])
+            idx_rows.append(idx)
+            mask_rows.append(mask)
+        return np.stack(idx_rows), np.stack(mask_rows)
+
+    def __iter__(self) -> Iterator[Dict]:
+        rng = np.random.default_rng(self.seed + self._epoch)
+        idx_plan, mask_plan = self.epoch_index_plan(rng)
+        tokens = self._epoch_tokens(rng)
+        self._epoch += 1
+
+        for b in range(self.n_batches):
+            idx, mask = idx_plan[b], mask_plan[b]
 
             batch: Dict = {
                 "audio": self._audio[idx],

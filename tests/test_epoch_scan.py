@@ -133,6 +133,47 @@ def test_epoch_scan_sharded_matches_unsharded(dec_root, tmp_path_factory):
     assert abs(b0[0]["mae"] - b1[0]["mae"]) < 5e-2, (b0[0], b1[0])
 
 
+def test_device_shuffle_stack_matches_host_stack(dec_root,
+                                                 tmp_path_factory):
+    """The device-side-shuffle fast path (_stack_epoch_device_shuffle:
+    dataset tensors cached on device, per-epoch [NB, bs] gather plan)
+    must produce BIT-IDENTICAL epoch stacks to the host restack it
+    replaces — same loader rng, same cycle-pad, two consecutive epochs
+    (distinct shuffles). MIMRL_HOST_STACK=1 is the slow-path escape
+    hatch used for the reference side."""
+    import os as _os
+
+    import numpy as np
+
+    def stacks(task_dir, host: bool, n_epochs=2):
+        solver = Solver(cfg_for(dec_root, task_dir, task_name="ds"))
+        out = []
+        if host:
+            _os.environ["MIMRL_HOST_STACK"] = "1"
+        try:
+            for _ in range(n_epochs):
+                out.append(solver._stack_epoch(solver.train_loader))
+        finally:
+            _os.environ.pop("MIMRL_HOST_STACK", None)
+        return out
+
+    fast = stacks(str(tmp_path_factory.mktemp("f")), host=False)
+    slow = stacks(str(tmp_path_factory.mktemp("s")), host=True)
+    for (bf, lf, lnf, mf), (bs_, ls, lns, ms) in zip(fast, slow):
+        assert set(bf) == set(bs_)
+        for k in bf:
+            np.testing.assert_array_equal(np.asarray(bf[k]),
+                                          np.asarray(bs_[k]), err_msg=k)
+        np.testing.assert_array_equal(np.asarray(lf), np.asarray(ls))
+        for a, b in zip(lnf, lns):
+            np.testing.assert_array_equal(a, b)
+        for a, b in zip(mf, ms):
+            np.testing.assert_array_equal(a, b)
+    # the two epochs really differ (shuffle active)
+    assert not np.array_equal(np.asarray(fast[0][1]),
+                              np.asarray(fast[1][1]))
+
+
 def test_check_gradient_per_parameter_lines(dec_root, tmp_path_factory):
     """--check_gradient emits per-PARAMETER name/para/grad_value lines
     with bert params skipped (ref print_gradient, Utils.py:11-19)."""
