@@ -87,6 +87,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from mimrl_tpu.core.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     # hardware RngBitGenerator for dropout masks (the solver's default,
     # core/config.py rng_impl); BENCH_RNG_IMPL=threefry to compare
     rng_impl = os.environ.get("BENCH_RNG_IMPL", "rbg")

@@ -27,6 +27,9 @@ def set_random_seed(opt: MimrlConfig) -> None:
 
 def main(argv=None):
     faulthandler.enable()
+    from mimrl_tpu.core.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     opt = parse_args(argv)
     set_random_seed(opt)
     if opt.jit_backend:

@@ -193,6 +193,15 @@ class MimrlConfig:
     # fast_stage1 on the reuse ladder (one dropout draw, one epoch stale);
     # the kNN contrast samples already come from the same stale bank.
     stage1_cached: bool = False
+    # pipelined epoch loop (default on, --no_pipeline_epochs to disable):
+    # under --epoch_scan, epoch e+1's device programs are dispatched
+    # BEFORE epoch e's host work (metric battery, TB/log writes, best-
+    # model bookkeeping, checkpoint pulls) so the host trails the device
+    # instead of stalling it between epochs. Bit-identical trajectories —
+    # same dispatch order, same RNG stream, same LR application points;
+    # only host sync ordering changes. Auto-disabled when the LR schedule
+    # needs the epoch's valid loss (plateau) or when profiling.
+    pipeline_epochs: bool = True
     # fusion encoder family (README.md:13: the fusion encoder is
     # replaceable): cubemlp (reference) | transformer | tfn
     fusion: str = "cubemlp"
@@ -407,6 +416,8 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    type=int)
     p.add_argument("--epoch_scan", action="store_true")
     p.add_argument("--stage1_cached", action="store_true")
+    p.add_argument("--no_pipeline_epochs", dest="pipeline_epochs",
+                   action="store_false")
     p.add_argument("--fusion", default=d.fusion, type=str,
                    choices=["cubemlp", "transformer", "tfn", "moe"])
     p.add_argument("--fusion_layers", default=d.fusion_layers, type=int)

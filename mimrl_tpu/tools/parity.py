@@ -141,6 +141,7 @@ def run_parity(args) -> dict:
         task_name=args.task_name, epochs_num=args.epochs_num,
         seed=args.seed, epoch_scan=args.epoch_scan,
         stage1_cached=args.stage1_cached,
+        pipeline_epochs=getattr(args, "pipeline_epochs", True),
         compute_dtype=args.compute_dtype, quant=args.quant,
         save_latest_every=0,
     )
@@ -223,6 +224,9 @@ def compare_reports(ours: dict, ref: dict, rel_tol: float,
 
 
 def main(argv=None):
+    from mimrl_tpu.core.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     ap = argparse.ArgumentParser(
         description="MIMRL accuracy-parity harness (BASELINE.md protocol)")
     ap.add_argument("--data_dir", default=None,
@@ -243,6 +247,11 @@ def main(argv=None):
                          "bank; requires epoch_scan)")
     ap.add_argument("--epochs_num", type=int, default=70)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--no_pipeline_epochs", dest="pipeline_epochs",
+                    action="store_false", default=True,
+                    help="disable the pipelined epoch loop (host work "
+                         "for epoch e overlapped with epoch e+1's device "
+                         "programs; bit-identical, on by default)")
     ap.add_argument("--epoch_scan", action="store_true", default=True)
     ap.add_argument("--no_epoch_scan", dest="epoch_scan",
                     action="store_false")

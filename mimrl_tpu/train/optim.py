@@ -271,6 +271,13 @@ class LRScheduler:
         elif self.kind != "exp":
             raise NotImplementedError(self.kind)
 
+    @property
+    def needs_metric(self) -> bool:
+        """True when step() consumes the epoch's valid loss (plateau) —
+        such schedules force the synchronous epoch loop: the next epoch's
+        LR cannot be set before this epoch's metrics are known."""
+        return self.kind == "plateau"
+
     def step(self, val_metric: float | None = None) -> float:
         """Advance one epoch (called after the epoch, like
         scheduler.step(), ref: Solver.py:52-57) and return the factor."""

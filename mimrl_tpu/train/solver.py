@@ -17,6 +17,7 @@ TPU-native additions over the reference:
 from __future__ import annotations
 
 import dataclasses
+import functools
 import os
 import pickle
 import time
@@ -34,7 +35,7 @@ from mimrl_tpu.data.tokenizer import build_tokenizer
 from mimrl_tpu.data.universal import get_data_loader
 from mimrl_tpu.eval.metrics import current_result_better, get_score_from_result
 from mimrl_tpu.models.bert import BertConfig, load_bert_weights
-from mimrl_tpu.models.model import MimrlModel, apply_orthogonal_whh, init_full
+from mimrl_tpu.models.model import MimrlModel, init_full
 from mimrl_tpu.parallel.mesh import make_mesh, shard_batch, shard_params
 from mimrl_tpu.train.optim import (
     LRScheduler,
@@ -44,7 +45,8 @@ from mimrl_tpu.train.optim import (
     partition_params,
     set_learning_rate,
 )
-from mimrl_tpu.train.steps import FeatureBank, StepFactory
+from mimrl_tpu.train.steps import (FeatureBank, StepFactory,
+                                   init_training_state)
 
 MI_NAMES = ("ft", "fa", "fv", "in", "spec_t", "spec_a", "spec_v", "comp")
 
@@ -119,32 +121,36 @@ class Solver:
         self.loop_rng = jax.random.fold_in(
             jax.random.key(opt.seed, impl=impl), 2)
         dummy = self._dummy_batch()
-        variables = init_full(
-            self.model, {"params": init_rng}, dummy["bert_sentences"],
+        # Param STRUCTURE first, with ZERO device work (eval_shape): the
+        # optimizer factories only consume tree names/shapes. Then the
+        # whole training-state init — flax init, orthogonal w_hh re-init
+        # (ref: Customization.py:18-21), partition, both optax inits —
+        # runs as ONE compiled program (steps.init_training_state);
+        # running those eagerly costs ~100 one-off compiles, which is
+        # minutes of wall clock on remote-compilation backends.
+        var_shapes = jax.eval_shape(
+            functools.partial(init_full, self.model),
+            {"params": init_rng}, dummy["bert_sentences"],
             dummy["bert_sentence_types"], dummy["bert_sentence_att_mask"],
             dummy["audio"], dummy["video"],
             text_features=dummy.get("text"))
-        params = variables["params"]
-        # orthogonal recurrent kernels (ref: Customization.py:18-21)
-        params = apply_orthogonal_whh(params, ortho_rng)
-        if opt.bert_weights and self.raw_text:
-            loaded = load_bert_weights(opt.bert_weights, bert_cfg)
-            params = dict(params)
-            params["bertmodel"] = loaded["params"]
-            log_message(f"Loaded BERT weights from {opt.bert_weights}")
-        self.params_main, self.params_bert, self.params_vmi = (
-            partition_params(params))
+        shapes_main, shapes_bert, _ = partition_params(var_shapes["params"])
         if opt.print_params:
-            for name in sorted(params.keys()):
+            for name in sorted(var_shapes["params"].keys()):
                 log_message("\t" + name)
 
         # optimizers + schedules (dual, ref: Solver.py:119-170)
-        self.opt_main = make_main_optimizer(opt, self.params_main,
-                                            self.params_bert)
+        self.opt_main = make_main_optimizer(opt, shapes_main, shapes_bert)
         self.opt_vmi = make_vmi_optimizer(opt)
-        self.opt_main_state = self.opt_main.init(
-            merge_params(self.params_main, self.params_bert))
-        self.opt_vmi_state = self.opt_vmi.init(self.params_vmi)
+        (self.params_main, self.params_bert, self.params_vmi,
+         self.opt_main_state, self.opt_vmi_state) = init_training_state(
+            self.model, self.opt_main, self.opt_vmi, init_rng, ortho_rng,
+            dummy, text_features=dummy.get("text"))
+        if opt.bert_weights and self.raw_text:
+            loaded = load_bert_weights(opt.bert_weights, bert_cfg)
+            self.params_bert = dict(self.params_bert)
+            self.params_bert["bertmodel"] = loaded["params"]
+            log_message(f"Loaded BERT weights from {opt.bert_weights}")
         self.lr_schedule = LRScheduler(opt)
         self.base_lr_main = opt.learning_rate
         self.base_lr_vmi = opt.learning_rate * opt.mi_lr_rate
@@ -750,16 +756,96 @@ class Solver:
             # process and keep this Solver (params, banks) alive
             self._restore_signal_handlers(prev_handlers)
 
+    def _finalize_epoch(self, tracking, epoch, dt, fin_train, fin_val,
+                        fin_test, snap=None, lr_stepped=False):
+        """Host half of one epoch: sync the dispatched results, step the
+        LR schedule (unless the pipelined dispatch already did), track
+        best models, emit the epoch log line / TB channels, and honor the
+        checkpoint cadence. In pipelined mode this runs while the device
+        crunches the NEXT epoch's programs; `snap` is the device-resident
+        state copy taken at dispatch time (the live buffers have already
+        been donated to the next epoch's steps by now)."""
+        opt = self.opt
+        train_loss, train_loss_mi, train_mis, train_score = fin_train()
+        (val_loss, val_mis, val_score, val_predictions, val_targets,
+         val_features) = fin_val()
+        (test_loss, test_mis, test_score, test_predictions,
+         test_targets, test_features) = fin_test()
+
+        # LR schedule (applied to BOTH optimizers, ref: Solver.py:52-57).
+        # Pipelined dispatch steps metric-independent schedules up front;
+        # plateau (needs val_loss) always lands here, on the sync path.
+        if not lr_stepped:
+            factor = self.lr_schedule.step(val_loss)
+            self.opt_main_state = set_learning_rate(
+                self.opt_main_state, self.base_lr_main * factor)
+            self.opt_vmi_state = set_learning_rate(
+                self.opt_vmi_state, self.base_lr_vmi * factor)
+
+        # Best-model tracking (ref: Solver.py:59-93)
+        if current_result_better(tracking["score"][0], val_score, opt.task,
+                                 opt.num_class, opt.dataset):
+            log_message("Better valid score found...")
+            tracking["valid_state"] = (
+                snap if snap is not None else self._device_snapshot(epoch))
+            tracking["score"][0] = val_score
+            tracking["predictions"][0] = val_predictions
+            tracking["features"][0] = val_features
+            tracking["score"][2] = test_score
+            tracking["predictions"][2] = test_predictions
+            tracking["features"][2] = test_features
+            tracking["targets"][0] = val_targets
+        if current_result_better(tracking["score"][1], test_score, opt.task,
+                                 opt.num_class, opt.dataset):
+            log_message("Better test score found...")
+            tracking["test_state"] = (
+                snap if snap is not None else self._device_snapshot(epoch))
+            tracking["score"][1] = test_score
+            tracking["predictions"][1] = test_predictions
+            tracking["features"][1] = test_features
+            tracking["targets"][1] = test_targets
+
+        sps = self.train_loader.num_samples / max(dt, 1e-9)
+        msg = self.build_message(epoch, train_loss, train_mis, train_score,
+                                 val_loss, val_mis, val_score, test_loss,
+                                 test_mis, test_score)
+        log_message(msg + f" || {dt:.1f}s {sps:.1f} samples/s"
+                    + self._hbm_suffix())
+        self.log_tf_board(epoch, train_loss, train_mis, train_score,
+                          val_loss, val_mis, val_score, test_loss,
+                          test_mis, test_score)
+        if opt.save_latest_every > 0 and (
+                epoch % opt.save_latest_every == opt.save_latest_every - 1
+                or epoch == opt.epochs_num - 1):
+            state = (jax.device_get(snap) if snap is not None
+                     else self._state_dict(epoch))
+            self.ckpt.save("latest", state)
+
     def _solve_loop(self, opt, best_score, best_predictions, best_features,
                     best_targets, best_valid_state, best_test_state):
         profiling = False
+        tracking = {"score": best_score, "predictions": best_predictions,
+                    "features": best_features, "targets": best_targets,
+                    "valid_state": best_valid_state,
+                    "test_state": best_test_state}
+        scan_mode = opt.epoch_scan and not opt.check_gradient
+        # Pipelined epochs: epoch e's host work (metric battery, TB/log,
+        # best bookkeeping, checkpoint pulls) overlaps epoch e+1's device
+        # execution. Safe (bit-identical) whenever the next epoch's LR
+        # does not depend on this epoch's valid loss; profiling epochs
+        # stay synchronous so the trace brackets exactly one epoch.
+        pipelined = (scan_mode and opt.pipeline_epochs
+                     and not self.lr_schedule.needs_metric
+                     and not opt.profile_dir)
+        pending = None  # (epoch, t0, fin_train, fin_val, fin_test, snap)
+
         for epoch in range(self.start_epoch, opt.epochs_num):
             if opt.profile_dir and epoch == self.start_epoch + 1:
                 # trace the first post-compile epoch (SURVEY.md §5.1)
                 jax.profiler.start_trace(opt.profile_dir)
                 profiling = True
             t0 = time.time()
-            if opt.epoch_scan and not opt.check_gradient:
+            if scan_mode:
                 # dispatch ALL of the epoch's programs (stage1, stage2,
                 # valid eval, test eval) before syncing anything: the
                 # host computes training metrics while the device is
@@ -769,59 +855,39 @@ class Solver:
                     self.valid_loader)
                 fin_test = self._evaluate_epoch_scan_dispatch(
                     self.test_loader)
-                train_loss, train_loss_mi, train_mis, train_score = (
-                    fin_train())
-                (val_loss, val_mis, val_score, val_predictions, val_targets,
-                 val_features) = fin_val()
-                (test_loss, test_mis, test_score, test_predictions,
-                 test_targets, test_features) = fin_test()
             else:
-                (train_loss, train_loss_mi, train_mis,
-                 train_score) = self.train(epoch)
-                (val_loss, val_mis, val_score, val_predictions, val_targets,
-                 val_features) = self.evaluate(self.valid_loader)
-                (test_loss, test_mis, test_score, test_predictions,
-                 test_targets, test_features) = self.evaluate(self.test_loader)
+                tr = self.train(epoch)
+                ev_val = self.evaluate(self.valid_loader)
+                ev_test = self.evaluate(self.test_loader)
+                fin_train = lambda tr=tr: tr
+                fin_val = lambda ev=ev_val: ev
+                fin_test = lambda ev=ev_test: ev
 
-            # LR schedule (applied to BOTH optimizers, ref: Solver.py:52-57)
-            factor = self.lr_schedule.step(val_loss)
-            self.opt_main_state = set_learning_rate(
-                self.opt_main_state, self.base_lr_main * factor)
-            self.opt_vmi_state = set_learning_rate(
-                self.opt_vmi_state, self.base_lr_vmi * factor)
+            if pipelined:
+                # advance the metric-independent LR schedule NOW so the
+                # next iteration's dispatch sees it (this epoch's
+                # programs were dispatched above with this epoch's LR),
+                # then snapshot the dispatched state before the next
+                # epoch's donations invalidate the live buffers
+                factor = self.lr_schedule.step(None)
+                self.opt_main_state = set_learning_rate(
+                    self.opt_main_state, self.base_lr_main * factor)
+                self.opt_vmi_state = set_learning_rate(
+                    self.opt_vmi_state, self.base_lr_vmi * factor)
+                snap = self._device_snapshot(epoch)
+                if pending is not None:
+                    p_epoch, p_t0, pf_tr, pf_v, pf_te, p_snap = pending
+                    # dt = dispatch-to-dispatch = steady-state wall/epoch
+                    self._finalize_epoch(tracking, p_epoch, t0 - p_t0,
+                                         pf_tr, pf_v, pf_te, snap=p_snap,
+                                         lr_stepped=True)
+                pending = (epoch, t0, fin_train, fin_val, fin_test, snap)
+                if self._preempted:
+                    break  # drained + checkpointed below
+                continue
 
-            # Best-model tracking (ref: Solver.py:59-93)
-            if current_result_better(best_score[0], val_score, opt.task,
-                                     opt.num_class, opt.dataset):
-                log_message("Better valid score found...")
-                best_valid_state = self._device_snapshot(epoch)
-                best_score[0], best_predictions[0], best_features[0] = (
-                    val_score, val_predictions, val_features)
-                best_score[2], best_predictions[2], best_features[2] = (
-                    test_score, test_predictions, test_features)
-                best_targets[0] = val_targets
-            if current_result_better(best_score[1], test_score, opt.task,
-                                     opt.num_class, opt.dataset):
-                log_message("Better test score found...")
-                best_test_state = self._device_snapshot(epoch)
-                best_score[1], best_predictions[1], best_features[1] = (
-                    test_score, test_predictions, test_features)
-                best_targets[1] = test_targets
-
-            dt = time.time() - t0
-            sps = self.train_loader.num_samples / max(dt, 1e-9)
-            msg = self.build_message(epoch, train_loss, train_mis, train_score,
-                                     val_loss, val_mis, val_score, test_loss,
-                                     test_mis, test_score)
-            log_message(msg + f" || {dt:.1f}s {sps:.1f} samples/s"
-                        + self._hbm_suffix())
-            self.log_tf_board(epoch, train_loss, train_mis, train_score,
-                              val_loss, val_mis, val_score, test_loss,
-                              test_mis, test_score)
-            if opt.save_latest_every > 0 and (
-                    epoch % opt.save_latest_every == opt.save_latest_every - 1
-                    or epoch == opt.epochs_num - 1):
-                self.ckpt.save("latest", self._state_dict(epoch))
+            self._finalize_epoch(tracking, epoch, time.time() - t0,
+                                 fin_train, fin_val, fin_test)
             if profiling:
                 jax.profiler.stop_trace()
                 profiling = False
@@ -832,13 +898,24 @@ class Solver:
                 self.ckpt.save("latest", self._state_dict(epoch))
                 break
 
+        if pending is not None:
+            p_epoch, p_t0, pf_tr, pf_v, pf_te, p_snap = pending
+            self._finalize_epoch(tracking, p_epoch, time.time() - p_t0,
+                                 pf_tr, pf_v, pf_te, snap=p_snap,
+                                 lr_stepped=True)
+            if self._preempted:
+                log_message(f"Preemption requested — checkpointing at "
+                            f"epoch {p_epoch} and stopping.")
+                self.ckpt.save("latest", jax.device_get(p_snap))
+
         log_message("Training complete.")
         self.writer.close()
-        if best_score[0] is not None:
-            self.log_best_scores(best_score)
-        self.save_results(best_predictions, best_targets, best_features,
-                          best_valid_state, best_test_state)
-        return best_score
+        if tracking["score"][0] is not None:
+            self.log_best_scores(tracking["score"])
+        self.save_results(tracking["predictions"], tracking["targets"],
+                          tracking["features"], tracking["valid_state"],
+                          tracking["test_state"])
+        return tracking["score"]
 
     # ------------------------------------------------------------------ #
     def request_preemption(self, *_args):

@@ -140,6 +140,44 @@ def _model_inputs(batch: Dict):
             batch["video"])
 
 
+def init_training_state(model: MimrlModel, opt_main, opt_vmi, init_rng,
+                        ortho_rng, batch: Dict, text_features=None):
+    """The ENTIRE training-state init as ONE compiled program.
+
+    Flax init, the orthogonal w_hh re-init (ref: Customization.py:18-21),
+    the (main, bert, vmi) partition, and BOTH optax state inits execute
+    inside a single jit. Running them eagerly instead compiles ~100
+    one-off programs (one per QR / zeros_like shape), which is
+    pathological on backends with remote compilation — measured ~9 min
+    of Solver init on the tunneled TPU for seconds of actual work.
+
+    Callers build `opt_main`/`opt_vmi` beforehand from the param
+    STRUCTURE via ``jax.eval_shape`` (zero device work): the optimizer
+    factories only read tree names/shapes.
+
+    Returns (params_main, params_bert, params_vmi, opt_main_state,
+    opt_vmi_state).
+    """
+    from mimrl_tpu.models.model import (_init_all_method,
+                                        apply_orthogonal_whh)
+    from mimrl_tpu.train.optim import partition_params
+
+    bert_s, bert_t, bert_m, a, v = _model_inputs(batch)
+
+    @jax.jit
+    def _do(init_rng, ortho_rng, bert_s, bert_t, bert_m, a, v, tf):
+        variables = model.init(
+            {"params": init_rng}, bert_s, bert_t, bert_m, a, v,
+            text_features=tf, method=_init_all_method)
+        params = apply_orthogonal_whh(variables["params"], ortho_rng)
+        pm, pb, pv = partition_params(params)
+        return (pm, pb, pv, opt_main.init(merge_params(pm, pb)),
+                opt_vmi.init(pv))
+
+    return _do(init_rng, ortho_rng, bert_s, bert_t, bert_m, a, v,
+               text_features)
+
+
 class StepFactory:
     """Builds the three jitted step functions for a model + config."""
 

@@ -4,6 +4,7 @@ produce equivalent artifacts to the per-batch path."""
 import json
 import os
 
+import jax
 import numpy as np
 import pytest
 
@@ -97,6 +98,45 @@ def test_epoch_scan_tracks_per_batch_trajectory(dec_root,
     # epoch 1 precedes any update divergence: near-exact
     assert abs(per_batch[0] - scanned[0]) < 1e-3, (per_batch, scanned)
     assert abs(per_batch[1] - scanned[1]) < 5e-2, (per_batch, scanned)
+
+
+def test_pipelined_epochs_bit_identical(dec_root, tmp_path_factory):
+    """--no_pipeline_epochs vs the (default) pipelined loop: dispatch
+    order, RNG stream, and LR application points are identical — only
+    host sync ordering changes — so every logged scalar, the best
+    scores, and the saved best-state params must match BITWISE. Any
+    drift means the pipelined loop reordered a device program or
+    snapshotted after a donation."""
+    import json
+
+    def run(task_dir, **kw):
+        cfg = cfg_for(dec_root, task_dir, task_name="pl", epochs_num=3,
+                      save_latest_every=2, **kw)
+        solver = Solver(cfg)
+        best = solver.solve()
+        scal = [json.loads(l) for l in
+                open(os.path.join(task_dir, "pl", "scalars.jsonl"))]
+        return solver, best, scal
+
+    s0, b0, sc0 = run(str(tmp_path_factory.mktemp("seq")),
+                      pipeline_epochs=False)
+    s1, b1, sc1 = run(str(tmp_path_factory.mktemp("pipe")),
+                      pipeline_epochs=True)
+    assert [ (x["tag"], x["step"], x["value"]) for x in sc0 ] == \
+           [ (x["tag"], x["step"], x["value"]) for x in sc1 ]
+    assert b0[0] == b1[0] and b0[1] == b1[1] and b0[2] == b1[2]
+    # final live params identical (same epoch count, same updates)
+    p0 = jax.tree_util.tree_leaves(s0.params_main)
+    p1 = jax.tree_util.tree_leaves(s1.params_main)
+    for a, b in zip(p0, p1):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # the pipelined checkpoint-cadence save (from the dispatch-time
+    # snapshot) restores into a new solver exactly like the sync one
+    from mimrl_tpu.core.checkpoint import CheckpointManager
+    for s in (s0, s1):
+        mgr = CheckpointManager(os.path.join(s.opt.task_dir, "pl"))
+        state = mgr.restore("latest", s._state_dict(0))
+        assert state is not None and int(state["epoch"]) == 2
 
 
 def test_epoch_scan_sharded_matches_unsharded(dec_root, tmp_path_factory):
