@@ -112,12 +112,24 @@ def run_parity(args) -> dict:
         root = tempfile.mkdtemp(prefix="parity_syn_")
         from mimrl_tpu.data.synthetic import make_dec_fixture
 
-        # --full_scale: the real MOSI split sizes (1284/229/686) so the
-        # run is a faithful end-to-end throughput measurement at the
-        # canonical shapes; default: tiny smoke fixture
-        splits = (1284, 229, 686) if args.full_scale else (64, 16, 16)
-        make_dec_fixture(root, "mosi", n_per_split=splits,
-                         d_audio=5, d_video=20, seed=args.seed)
+        # --full_scale: the real split sizes (MOSI 1284/229/686,
+        # MOSEI 16326/1871/4659) so the run is a faithful end-to-end
+        # throughput measurement at canonical shapes; default: tiny
+        # smoke fixture. --data_seed decouples the fixture from the
+        # training seed so multi-seed convergence studies vary ONLY
+        # the training RNG on identical data.
+        data_seed = args.seed if args.data_seed is None else args.data_seed
+        if args.scale == "mosei":
+            splits = ((16326, 1871, 4659) if args.full_scale
+                      else (64, 16, 16))
+            # real Dec-MOSEI feature dims (ref: DataLoaderCMUDeclareLab.py
+            # MOSEI covarep=74 / facet=35) + its 7-col label format
+            make_dec_fixture(root, "mosei", n_per_split=splits,
+                             d_audio=74, d_video=35, seed=data_seed)
+        else:
+            splits = (1284, 229, 686) if args.full_scale else (64, 16, 16)
+            make_dec_fixture(root, "mosi", n_per_split=splits,
+                             d_audio=5, d_video=20, seed=data_seed)
         data_dir = root
     else:
         data_dir = args.data_dir
@@ -136,6 +148,8 @@ def run_parity(args) -> dict:
             "acknowledge this (synthetic-fixture CI does).")
 
     overrides = dict(
+        dataset=("mosei_Dec" if (args.synthetic and args.scale == "mosei")
+                 else "mosi_Dec"),
         data_dir=data_dir, bert_vocab=args.bert_vocab,
         bert_weights=args.bert_weights, task_dir=args.task_dir,
         task_name=args.task_name, epochs_num=args.epochs_num,
@@ -247,6 +261,13 @@ def main(argv=None):
                          "bank; requires epoch_scan)")
     ap.add_argument("--epochs_num", type=int, default=70)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--data_seed", type=int, default=None,
+                    help="with --synthetic: fixture RNG seed, decoupled "
+                         "from the training seed (default: same as --seed)")
+    ap.add_argument("--scale", default="mosi", choices=["mosi", "mosei"],
+                    help="with --synthetic: which dataset scale/schema to "
+                         "generate (mosei: real Dec dims 74/35, 7-col "
+                         "labels, 16326/1871/4659 splits at --full_scale)")
     ap.add_argument("--no_pipeline_epochs", dest="pipeline_epochs",
                     action="store_false", default=True,
                     help="disable the pipelined epoch loop (host work "
