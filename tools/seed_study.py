@@ -1,0 +1,145 @@
+"""Multi-seed convergence study: exact vs --stage1_cached schedules.
+
+The --stage1_cached perf rung changes stage-1 semantics (critics train
+on the epoch-stale feature bank instead of fresh forwards,
+ref schedule: Solver.py:194-248). Round 3 defended it with ONE seed;
+this tool runs the full matrix
+
+    seeds x {exact, cached} x 70 epochs at MOSI scale
+    (+ optionally MOSEI scale, --mosei)
+
+on identical data (data_seed pinned) and reports, per schedule, the
+mean +/- spread of best-valid MAE and whether the cached schedule lands
+inside the exact schedule's seed envelope.
+
+Each run is a full `python -m mimrl_tpu.tools.parity --synthetic
+--allow_hermetic --full_scale` invocation in a subprocess (fresh
+process = honest compile-cache behavior, no cross-run state).
+Resumable: runs whose report JSON already exists are skipped.
+
+Usage:
+    python tools/seed_study.py --seeds 0 1 2 --out docs/SEED_STUDY.json
+    python tools/seed_study.py --mosei --seeds 0 --epochs 70 ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def run_one(outdir, scale, schedule, seed, epochs, data_seed):
+    name = f"{scale}_{schedule}_s{seed}"
+    out = os.path.join(outdir, f"{name}.json")
+    if os.path.exists(out):
+        print(f"[seed_study] {name}: exists, skipping", flush=True)
+        return out
+    cmd = [sys.executable, "-m", "mimrl_tpu.tools.parity", "--synthetic",
+           "--allow_hermetic", "--full_scale", "--scale", scale,
+           "--seed", str(seed), "--data_seed", str(data_seed),
+           "--epochs_num", str(epochs), "--task_name", f"seed_{name}",
+           "--out", out]
+    if schedule == "cached":
+        cmd.append("--stage1_cached")
+    t0 = time.time()
+    print(f"[seed_study] {name}: running...", flush=True)
+    r = subprocess.run(cmd, capture_output=True, text=True)
+    if r.returncode != 0:
+        print(r.stdout[-2000:], r.stderr[-4000:], flush=True)
+        raise SystemExit(f"{name} failed rc={r.returncode}")
+    print(f"[seed_study] {name}: done in {time.time() - t0:.0f}s", flush=True)
+    return out
+
+
+def summarize(reports):
+    """Per (scale, schedule): best-valid/test MAE list over seeds +
+    envelope verdict (is every cached MAE within the exact schedule's
+    min..max seed envelope, widened by the exact spread itself?)."""
+    import numpy as np
+
+    table = {}
+    for meta, path in reports:
+        with open(path) as f:
+            rep = json.load(f)
+        scale, schedule, seed = meta
+        key = f"{scale}/{schedule}"
+        row = table.setdefault(key, {"seeds": [], "best_valid_mae": [],
+                                     "test_mae_at_best_valid": [],
+                                     "samples_per_sec": []})
+        row["seeds"].append(seed)
+        row["best_valid_mae"].append(rep["best_valid_score"]["mae"])
+        row["test_mae_at_best_valid"].append(
+            rep["test_score_at_best_valid"]["mae"])
+        row["samples_per_sec"].append(rep["samples_per_sec"])
+    for key, row in table.items():
+        v = np.asarray(row["best_valid_mae"])
+        row["mean"] = float(v.mean())
+        row["std"] = float(v.std())
+        row["min"] = float(v.min())
+        row["max"] = float(v.max())
+    verdicts = {}
+    for scale in {k.split("/")[0] for k in table}:
+        ex, ca = table.get(f"{scale}/exact"), table.get(f"{scale}/cached")
+        if not (ex and ca):
+            continue
+        # envelope: exact's observed seed range, widened by one exact-
+        # schedule std on each side (3 seeds undersample the true range)
+        lo = ex["min"] - ex["std"]
+        hi = ex["max"] + ex["std"]
+        inside = [lo <= m <= hi for m in ca["best_valid_mae"]]
+        verdicts[scale] = {
+            "exact_envelope": [round(lo, 4), round(hi, 4)],
+            "cached_inside_envelope": inside,
+            "pass": all(inside),
+            "mean_delta": round(ca["mean"] - ex["mean"], 4),
+            "mean_delta_vs_exact_spread": (
+                round((ca["mean"] - ex["mean"]) / max(ex["std"], 1e-9), 2)),
+        }
+    return {"runs": table, "envelope_verdict": verdicts}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--seeds", type=int, nargs="+", default=[0, 1, 2])
+    ap.add_argument("--epochs", type=int, default=70)
+    ap.add_argument("--data_seed", type=int, default=0)
+    ap.add_argument("--mosei", action="store_true",
+                    help="also run the MOSEI-scale shape (16326-row "
+                         "fixture, dims 74/35)")
+    ap.add_argument("--mosei_seeds", type=int, nargs="+", default=[0])
+    ap.add_argument("--runs_dir", default="docs/seed_runs")
+    ap.add_argument("--out", default="docs/SEED_STUDY.json")
+    args = ap.parse_args()
+
+    os.makedirs(args.runs_dir, exist_ok=True)
+    reports = []
+    for schedule in ("exact", "cached"):
+        for seed in args.seeds:
+            path = run_one(args.runs_dir, "mosi", schedule, seed,
+                           args.epochs, args.data_seed)
+            reports.append((("mosi", schedule, seed), path))
+    if args.mosei:
+        for schedule in ("exact", "cached"):
+            for seed in args.mosei_seeds:
+                path = run_one(args.runs_dir, "mosei", schedule, seed,
+                               args.epochs, args.data_seed)
+                reports.append((("mosei", schedule, seed), path))
+
+    summary = summarize(reports)
+    summary["protocol"] = {
+        "epochs": args.epochs, "data_seed": args.data_seed,
+        "note": "identical synthetic fixture per scale (data_seed pinned); "
+                "only the training seed varies. exact = --epoch_scan "
+                "reference-exact schedule; cached = --stage1_cached.",
+    }
+    with open(args.out, "w") as f:
+        json.dump(summary, f, indent=2)
+    print(json.dumps(summary["envelope_verdict"], indent=2))
+
+
+if __name__ == "__main__":
+    main()
