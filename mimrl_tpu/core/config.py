@@ -86,6 +86,11 @@ class MimrlConfig:
     lr_decrease_iter: str = "60"
     lr_decrease_rate: float = 0.1
     save_best_features: bool = False
+    # write the best_valid/best_test model checkpoints at run end
+    # (ref: Solver.py:530-531). --no_save_models skips them — for
+    # measurement/sweep runs where the ~GB-scale device->host pulls and
+    # disk writes are pure overhead.
+    save_models: bool = True
     print_params: bool = False
     check_gradient: bool = False
     # accepted for CLI parity; no-ops on TPU (the reference's de-facto
@@ -202,6 +207,18 @@ class MimrlConfig:
     # only host sync ordering changes. Auto-disabled when the LR schedule
     # needs the epoch's valid loss (plateau) or when profiling.
     pipeline_epochs: bool = True
+    # --epoch_group G: scan G WHOLE epochs (stage1 + stage2 + valid +
+    # test eval + in-graph best-model tracking) as ONE dispatched XLA
+    # program — the strongest dispatch-fusion rung above --epoch_scan.
+    # Same math/RNG stream as the per-epoch scan path (equality test:
+    # tests/test_epoch_group.py). Requires a metric-independent LR
+    # schedule, a device-shuffle-capable train loader, single device,
+    # and no save_best_features/check_gradient/profiling; the solver
+    # falls back to per-epoch dispatch otherwise. Selection decisions
+    # are made on-device (f32 masked MAE / accuracy) and replayed by the
+    # host, so a sub-1e-7 near-tie can in principle resolve differently
+    # than the host's f64 comparison — same rule, same inputs.
+    epoch_group: int = 1
     # fusion encoder family (README.md:13: the fusion encoder is
     # replaceable): cubemlp (reference) | transformer | tfn
     fusion: str = "cubemlp"
@@ -369,6 +386,8 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--lr_decrease_iter", default=d.lr_decrease_iter, type=str)
     p.add_argument("--lr_decrease_rate", default=d.lr_decrease_rate, type=float)
     p.add_argument("--save_best_features", action="store_true")
+    p.add_argument("--no_save_models", dest="save_models",
+                   action="store_false", default=True)
     p.add_argument("--print_params", action="store_true")
     p.add_argument("--check_gradient", action="store_true")
     p.add_argument("--parallel", action="store_true")
@@ -416,6 +435,7 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    type=int)
     p.add_argument("--epoch_scan", action="store_true")
     p.add_argument("--stage1_cached", action="store_true")
+    p.add_argument("--epoch_group", default=d.epoch_group, type=int)
     p.add_argument("--no_pipeline_epochs", dest="pipeline_epochs",
                    action="store_false")
     p.add_argument("--fusion", default=d.fusion, type=str,

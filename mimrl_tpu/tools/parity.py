@@ -136,6 +136,19 @@ def run_parity(args) -> dict:
         if not data_dir:
             sys.exit("parity: --data_dir is required (or pass --synthetic "
                      "for the hermetic fixture mode)")
+        # real data: validate layout/schema/vocab/weights up front with
+        # actionable errors (docs/RUNBOOK.md preflight)
+        from mimrl_tpu.data.preflight import run_preflight
+
+        findings = run_preflight(
+            "mosi_Dec" if args.scale == "mosi" else "mosei_Dec",
+            data_dir, bert_vocab=args.bert_vocab,
+            bert_weights=args.bert_weights)
+        for f in findings:
+            print(f, file=sys.stderr)
+        if any(f.level == "error" for f in findings):
+            sys.exit("parity: preflight failed — fix the errors above "
+                     "(see docs/RUNBOOK.md)")
 
     hermetic = not (args.bert_vocab and args.bert_weights)
     if hermetic and not args.allow_hermetic:
@@ -155,10 +168,15 @@ def run_parity(args) -> dict:
         task_name=args.task_name, epochs_num=args.epochs_num,
         seed=args.seed, epoch_scan=args.epoch_scan,
         stage1_cached=args.stage1_cached,
+        epoch_group=args.epoch_group,
         pipeline_epochs=getattr(args, "pipeline_epochs", True),
         compute_dtype=args.compute_dtype, quant=args.quant,
         save_latest_every=0,
     )
+    if args.light_artifacts:
+        # measurement/sweep runs: skip the GB-scale best-model pulls +
+        # feature pickles (metrics/MI channels/samples/s unaffected)
+        overrides.update(save_best_features=False, save_models=False)
     if args.synthetic and not args.full_scale:
         # tiny shapes so the hermetic smoke finishes in minutes
         overrides.update(
@@ -259,6 +277,12 @@ def main(argv=None):
     ap.add_argument("--stage1_cached", action="store_true",
                     help="perf-mode stage 1 (critics sweep the epoch-stale "
                          "bank; requires epoch_scan)")
+    ap.add_argument("--light_artifacts", action="store_true",
+                    help="skip best-model checkpoints + feature pickles "
+                         "(measurement runs; metrics unaffected)")
+    ap.add_argument("--epoch_group", type=int, default=1,
+                    help="scan N whole epochs per dispatch "
+                         "(--epoch_group in the solver)")
     ap.add_argument("--epochs_num", type=int, default=70)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--data_seed", type=int, default=None,

@@ -366,14 +366,22 @@ class Solver:
 
             batches = jax.tree_util.tree_map(place, batches)
             labels_stack = place(labels_stack)
+        if cacheable and self.mesh is None:
+            # keep the reusable eval stacks device-resident: passing the
+            # cached HOST arrays into a jitted program re-uploads them
+            # every epoch (~10 MB/epoch at MOSI scale over a tunneled
+            # chip); one device_put here makes every later dispatch a
+            # no-copy argument pass
+            batches = jax.device_put(batches)
+            labels_stack = jax.device_put(labels_stack)
         result = (batches, labels_stack, labels_np, masks)
         if cacheable:
             self._stack_cache[loader] = result
         return result
 
-    def _stack_epoch_device_shuffle(self, loader):
-        """Fast-path _stack_epoch for shuffled loaders: gather the epoch
-        on-device from cached dataset-order tensors (see _stack_epoch)."""
+    def _loader_flats(self, loader):
+        """Device-resident dataset-order tensors for a static loader,
+        uploaded once and cached (device-side shuffle / epoch groups)."""
         import jax.numpy as jnp
 
         if not hasattr(self, "_flat_cache"):
@@ -392,7 +400,14 @@ class Solver:
                 flats = {"text": loader._text_feat,
                          "audio": loader._audio, "video": loader._video}
             self._flat_cache[loader] = jax.device_put(flats)
-        flats = self._flat_cache[loader]
+        return self._flat_cache[loader]
+
+    def _stack_epoch_device_shuffle(self, loader):
+        """Fast-path _stack_epoch for shuffled loaders: gather the epoch
+        on-device from cached dataset-order tensors (see _stack_epoch)."""
+        import jax.numpy as jnp
+
+        flats = self._loader_flats(loader)
 
         # the loader's own rng + plan (bit-identical batch composition
         # to iterating it); advance its epoch counter exactly like
@@ -621,6 +636,280 @@ class Solver:
     def _evaluate_epoch_scan(self, loader):
         return self._evaluate_epoch_scan_dispatch(loader)()
 
+    # ---------------- epoch groups (--epoch_group) ---------------- #
+    def _group_sel(self) -> Optional[str]:
+        """On-device selection metric for the in-graph best tracking
+        (must mirror eval/metrics.current_result_better)."""
+        if self.opt.task == "classification":
+            return "acc"
+        if self.opt.dataset == "avec2019":
+            return None  # ccc selection stays on the per-epoch path
+        return "mae"
+
+    def _group_sel_key(self) -> str:
+        return ("mae" if self.opt.task != "classification"
+                else f"{self.opt.num_class}-class_acc")
+
+    def _group_supported(self) -> bool:
+        opt = self.opt
+        loader = self.train_loader
+        return (opt.epoch_scan and opt.epoch_group > 1
+                and not opt.check_gradient
+                and self.mesh is None
+                and not opt.save_best_features
+                and not opt.profile_dir
+                and not self.lr_schedule.needs_metric
+                and getattr(loader, "static_tensors", False)
+                and not getattr(loader, "avec_random_word", False)
+                and os.environ.get("MIMRL_HOST_STACK") != "1"
+                and self._group_sel() is not None)
+
+    def _dispatch_epoch_group(self, e0: int, g: int, best_v, best_t):
+        """Dispatch g epochs as ONE XLA program (steps.epoch_group).
+        Host work per group: g index plans (KBs), g LR factors, 4g RNG
+        keys. RNG stream, LR application points, batch composition and
+        bank flow are identical to g per-epoch dispatches."""
+        opt = self.opt
+        loader = self.train_loader
+        flats = self._loader_flats(loader)
+        vb, vlab, _, _ = self._stack_epoch(self.valid_loader)
+        tb, tlab, _, _ = self._stack_epoch(self.test_loader)
+
+        ds_labels = [np.asarray(l) for l in loader.ds.labels]
+        lab_all = np.asarray(self.get_label_from_datas(
+            {"labels": ds_labels}))
+        if not hasattr(self, "_epoch_meta"):
+            self._epoch_meta = {}
+        idx_plans, mask_plans, labels_plans = [], [], []
+        labels_np_g, masks_g, factors = [], [], []
+        for i in range(g):
+            rng = np.random.default_rng(loader.seed + loader._epoch)
+            idx_plan, mask_plan = loader.epoch_index_plan(rng)
+            loader._epoch += 1
+            idx_plans.append(np.asarray(idx_plan, np.int32))
+            mask_plans.append(np.asarray(mask_plan, np.float32))
+            lab_e = lab_all[idx_plan]
+            labels_np_g.append(lab_e)
+            masks_g.append(np.asarray(mask_plan) > 0.5)
+            labels_plans.append(lab_e.astype(
+                np.int32 if opt.task == "classification" else np.float32))
+            factors.append(self.lr_schedule.factor)
+            self.lr_schedule.step(None)
+            self._epoch_meta[e0 + i] = self.lr_schedule.factor
+        lrs_main = np.asarray([self.base_lr_main * f for f in factors],
+                              np.float32)
+        lrs_vmi = np.asarray([self.base_lr_vmi * f for f in factors],
+                             np.float32)
+        counters = np.arange(self.global_step + 1,
+                             self.global_step + 4 * g + 1).reshape(g, 4)
+        self.global_step += 4 * g
+        rngs = jax.vmap(jax.vmap(
+            lambda c: jax.random.fold_in(self.loop_rng, c)))(
+            jnp.asarray(counters))
+
+        stage1_mode = ("cached" if opt.stage1_cached
+                       else "fast" if opt.fast_stage1 else "fresh")
+        carry, ys = self.steps.epoch_group(
+            self.params_main, self.params_bert, self.params_vmi,
+            self.opt_main_state, self.opt_vmi_state, self.bank,
+            best_v, best_t, flats,
+            jnp.asarray(np.stack(idx_plans)),
+            jnp.asarray(np.stack(mask_plans)),
+            jnp.asarray(np.stack(labels_plans)),
+            vb, vlab, tb, tlab, rngs,
+            jnp.asarray(lrs_main), jnp.asarray(lrs_vmi),
+            jnp.arange(e0, e0 + g, dtype=jnp.int32),
+            n_passes=opt.stage1_n, stage1_mode=stage1_mode,
+            sel=self._group_sel(), n_bank=self.n_bank,
+            n_valid=min(loader.num_samples, self.n_bank))
+        (self.params_main, self.params_bert, self.params_vmi,
+         self.opt_main_state, self.opt_vmi_state, self.bank,
+         best_v, best_t) = carry
+        self.have_bank = True
+        meta = dict(e0=e0, g=g, labels_np=labels_np_g, masks=masks_g,
+                    factors=factors, nb=len(loader))
+        return best_v, best_t, ys, meta
+
+    def _finalize_group(self, tracking, ys, meta, dt):
+        """Host half of one dispatched epoch group: sync the stacked
+        per-epoch outputs, compute the metric batteries, replay the
+        device's best-model decisions (v_better/t_better bits), and emit
+        the per-epoch log lines / TB channels."""
+        opt = self.opt
+        (loss_mi, losses, mis, outs,
+         v_losses, v_mis, v_outs, _v_metric, v_better,
+         t_losses, t_mis, t_outs, _t_metric, t_better) = ys
+        g, nb = meta["g"], meta["nb"]
+        _, _, v_labels_np, v_masks = self._stack_epoch(self.valid_loader)
+        _, _, t_labels_np, t_masks = self._stack_epoch(self.test_loader)
+        nv, nt = len(self.valid_loader), len(self.test_loader)
+        outs_np = np.asarray(outs)
+        v_outs_np, t_outs_np = np.asarray(v_outs), np.asarray(t_outs)
+        loss_mi_np = np.asarray(loss_mi)
+        losses_np, mis_np = np.asarray(losses), np.asarray(mis)
+        v_losses_np, v_mis_np = np.asarray(v_losses), np.asarray(v_mis)
+        t_losses_np, t_mis_np = np.asarray(t_losses), np.asarray(t_mis)
+        v_better_np = np.asarray(v_better)
+        t_better_np = np.asarray(t_better)
+
+        v_targets = np.concatenate(
+            [t[m] for t, m in zip(v_labels_np, v_masks)])
+        t_targets = np.concatenate(
+            [t[m] for t, m in zip(t_labels_np, t_masks)])
+
+        for i in range(g):
+            epoch = meta["e0"] + i
+            masks = meta["masks"][i]
+            train_preds = np.concatenate(
+                [outs_np[i][b][masks[b]] for b in range(nb)])
+            train_targs = np.concatenate(
+                [meta["labels_np"][i][b][masks[b]] for b in range(nb)])
+            train_score = get_score_from_result(
+                train_preds, train_targs, opt.dataset, opt.task,
+                opt.num_class)
+            v_preds = np.concatenate(
+                [v_outs_np[i][b][m] for b, m in enumerate(v_masks)])
+            t_preds = np.concatenate(
+                [t_outs_np[i][b][m] for b, m in enumerate(t_masks)])
+            val_score = get_score_from_result(
+                v_preds, v_targets, opt.dataset, opt.task, opt.num_class)
+            test_score = get_score_from_result(
+                t_preds, t_targets, opt.dataset, opt.task, opt.num_class)
+
+            # best-model bookkeeping: replay the DEVICE's decisions (the
+            # snapshots were already selected in-graph)
+            if bool(v_better_np[i]):
+                log_message("Better valid score found...")
+                tracking["score"][0] = val_score
+                tracking["predictions"][0] = v_preds
+                tracking["targets"][0] = v_targets
+                tracking["score"][2] = test_score
+                tracking["predictions"][2] = t_preds
+                tracking["features"][0] = tracking["features"][2] = None
+            if bool(t_better_np[i]):
+                log_message("Better test score found...")
+                tracking["score"][1] = test_score
+                tracking["predictions"][1] = t_preds
+                tracking["targets"][1] = t_targets
+                tracking["features"][1] = None
+
+            train_loss = float(np.sum(losses_np[i])) / nb
+            train_mis = (np.sum(mis_np[i], axis=0) / nb).tolist()
+            val_loss = float(np.sum(v_losses_np[i])) / nv
+            val_mis = (np.sum(v_mis_np[i], axis=0) / nv).tolist()
+            test_loss = float(np.sum(t_losses_np[i])) / nt
+            test_mis = (np.sum(t_mis_np[i], axis=0) / nt).tolist()
+            sps = self.train_loader.num_samples / max(dt / g, 1e-9)
+            msg = self.build_message(
+                epoch, train_loss, train_mis, train_score, val_loss,
+                val_mis, val_score, test_loss, test_mis, test_score)
+            log_message(msg + f" || {dt / g:.2f}s {sps:.1f} samples/s "
+                        f"(group of {g})" + self._hbm_suffix())
+            self.log_tf_board(epoch, train_loss, train_mis, train_score,
+                              val_loss, val_mis, val_score, test_loss,
+                              test_mis, test_score)
+
+    def _dev_best_to_state(self, b) -> Optional[Dict]:
+        """Convert a device-resident best snapshot (epoch_group carry
+        schema) into the checkpoint state-dict schema."""
+        epoch = int(b["epoch"])
+        if epoch < 0:
+            return None
+        return {
+            "epoch": epoch,
+            "params_main": b["pm"], "params_bert": b["pb"],
+            "params_vmi": b["pv"],
+            "opt_main_state": b["oms"], "opt_vmi_state": b["ovs"],
+            "bank": b["bank"],
+            "lr_factor": getattr(self, "_epoch_meta", {}).get(
+                epoch, self.lr_schedule.factor),
+            "global_step": self.global_step,
+        }
+
+    def _solve_loop_grouped(self, opt, tracking):
+        """The --epoch_group driver loop: epoch 0 (empty bank) runs on
+        the per-epoch scan path, then every subsequent G epochs are ONE
+        device dispatch, with group k's host finalization overlapped
+        with group k+1's device execution."""
+        sel_key = self._group_sel_key()
+        e = self.start_epoch
+        if not self.have_bank and e < opt.epochs_num:
+            t0 = time.time()
+            fin_tr = self._train_epoch_scan_dispatch(e)
+            fin_v = self._evaluate_epoch_scan_dispatch(self.valid_loader)
+            fin_te = self._evaluate_epoch_scan_dispatch(self.test_loader)
+            self._finalize_epoch(tracking, e, time.time() - t0, fin_tr,
+                                 fin_v, fin_te)
+            e += 1
+
+        copy = lambda t: jax.tree_util.tree_map(
+            lambda x: jnp.array(x, copy=True) if hasattr(x, "dtype") else x,
+            t)
+        worst = np.inf if self._group_sel() == "mae" else -np.inf
+
+        def seed(state, score):
+            if state is not None and score is not None:
+                return {"pm": copy(state["params_main"]),
+                        "pb": copy(state["params_bert"]),
+                        "pv": copy(state["params_vmi"]),
+                        "oms": copy(state["opt_main_state"]),
+                        "ovs": copy(state["opt_vmi_state"]),
+                        "bank": copy(state["bank"]),
+                        "epoch": jnp.int32(state["epoch"]),
+                        "metric": jnp.float32(score[sel_key])}
+            return {"pm": copy(self.params_main),
+                    "pb": copy(self.params_bert),
+                    "pv": copy(self.params_vmi),
+                    "oms": copy(self.opt_main_state),
+                    "ovs": copy(self.opt_vmi_state),
+                    "bank": copy(self.bank),
+                    "epoch": jnp.int32(-1), "metric": jnp.float32(worst)}
+
+        best_v = seed(tracking["valid_state"], tracking["score"][0])
+        best_t = seed(tracking["test_state"], tracking["score"][1])
+
+        pending = None  # (ys, meta, t0)
+        while e < opt.epochs_num and not self._preempted:
+            g = min(opt.epoch_group, opt.epochs_num - e)
+            t0 = time.time()
+            best_v, best_t, ys, meta = self._dispatch_epoch_group(
+                e, g, best_v, best_t)
+            if pending is not None:
+                p_ys, p_meta, p_t0 = pending
+                self._finalize_group(tracking, p_ys, p_meta, t0 - p_t0)
+            pending = (ys, meta, t0)
+            e += g
+            if (opt.save_latest_every > 0
+                    and (e % opt.save_latest_every == 0
+                         or e >= opt.epochs_num)):
+                # group-boundary `latest` (cadence rounds to groups)
+                self.ckpt.save("latest", self._state_dict(e - 1))
+        if pending is not None:
+            p_ys, p_meta, p_t0 = pending
+            self._finalize_group(tracking, p_ys, p_meta,
+                                 time.time() - p_t0)
+        if self._preempted:
+            log_message(f"Preemption requested — checkpointing at epoch "
+                        f"{e - 1} and stopping.")
+            self.ckpt.save("latest", self._state_dict(e - 1))
+
+        # device-tracked best states become the persisted best states
+        v_state = self._dev_best_to_state(best_v)
+        t_state = self._dev_best_to_state(best_t)
+        if v_state is not None:
+            tracking["valid_state"] = v_state
+        if t_state is not None:
+            tracking["test_state"] = t_state
+
+        log_message("Training complete.")
+        self.writer.close()
+        if tracking["score"][0] is not None:
+            self.log_best_scores(tracking["score"])
+        self.save_results(tracking["predictions"], tracking["targets"],
+                          tracking["features"], tracking["valid_state"],
+                          tracking["test_state"])
+        return tracking["score"]
+
     def _log_gradients(self, model_batch, labels_dev, stage: int):
         """--check_gradient: per-PARAMETER name/param-sum/grad-sum lines,
         bert params skipped, matching the reference's print_gradient
@@ -828,6 +1117,14 @@ class Solver:
                     "features": best_features, "targets": best_targets,
                     "valid_state": best_valid_state,
                     "test_state": best_test_state}
+        if self._group_supported():
+            return self._solve_loop_grouped(opt, tracking)
+        if opt.epoch_group > 1:
+            log_message(
+                "WARNING: --epoch_group requires --epoch_scan + a "
+                "device-shuffle-capable loader + metric-independent LR "
+                "(and no save_best_features/check_gradient/profiling/"
+                "mesh); falling back to per-epoch dispatch.")
         scan_mode = opt.epoch_scan and not opt.check_gradient
         # Pipelined epochs: epoch e's host work (metric battery, TB/log,
         # best bookkeeping, checkpoint pulls) overlaps epoch e+1's device
@@ -1040,9 +1337,9 @@ class Solver:
                 with open(os.path.join(self.task_path, f"{name}.pkl"),
                           "wb") as f:
                     pickle.dump(feats, f)
-        if best_valid_state is not None:
+        if best_valid_state is not None and self.opt.save_models:
             self.ckpt.save("best_valid", jax.device_get(best_valid_state))
-        if best_test_state is not None:
+        if best_test_state is not None and self.opt.save_models:
             self.ckpt.save("best_test", jax.device_get(best_test_state))
         # async (orbax) saves must be durable before the run returns
         self.ckpt.wait_until_finished()

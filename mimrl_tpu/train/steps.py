@@ -616,6 +616,138 @@ class StepFactory:
                 out[name] = (jnp.sum(p), jnp.sum(g))
             return out
 
+        # ------- epoch groups (--epoch_group G): G epochs, ONE dispatch ------- #
+        # The strongest dispatch-fusion rung: lax.scan over WHOLE epochs.
+        # Each scan step runs stage 1 + stage 2 + valid eval + test eval
+        # and updates two device-resident best-model snapshots in-graph
+        # (selection metric computed on-device; the emitted better-bits
+        # let the host replay the exact decisions for its bookkeeping).
+        # Train batches are gathered on-device from the dataset-order
+        # tensors by per-epoch index plans (device-side shuffle), so a
+        # group's host traffic is a few KB of plans + scalars out.
+        # Requires: metric-independent LR schedule (factors precomputed
+        # per epoch), static eval stacks, device-shuffle-capable train
+        # loader. The solver falls back to per-epoch dispatch otherwise.
+
+        def _sel_metric(sel: str, outs, labels, mask):
+            """On-device selection scalar over one eval split.
+            outs [NB, bs, C] / labels [NB, bs] / mask [NB, bs] f32.
+            sel: the reference's model-selection rule
+            (ref: Solver.py:425-436 / eval/metrics.current_result_better):
+            regression -> MAE down; classification -> acc up."""
+            m = mask.reshape(-1)
+            if sel == "mae":
+                p = outs.reshape(-1)
+                t = labels.reshape(-1)
+                return jnp.sum(jnp.abs(p - t) * m) / jnp.maximum(
+                    jnp.sum(m), 1.0)
+            if sel == "acc":
+                if outs.shape[-1] == 1:
+                    pred = (outs.reshape(-1) > 0).astype(jnp.int32)
+                else:
+                    pred = jnp.argmax(
+                        outs.reshape(-1, outs.shape[-1]), axis=-1)
+                t = labels.reshape(-1).astype(jnp.int32)
+                return jnp.sum((pred == t).astype(jnp.float32) * m) / (
+                    jnp.maximum(jnp.sum(m), 1.0))
+            raise NotImplementedError(sel)
+
+        def _sel_better(sel: str, new, best):
+            return new < best if sel == "mae" else new > best
+
+        def epoch_group(params_main, params_bert, params_vmi, oms, ovs,
+                        bank, best_v, best_t,
+                        train_flats, idx_plans, mask_plans, labels_plans,
+                        valid_batches, valid_labels,
+                        test_batches, test_labels,
+                        rngs, lrs_main, lrs_vmi, epoch_ids,
+                        n_passes: int, stage1_mode: str, sel: str,
+                        n_bank: int, n_valid: int):
+            """Run G = idx_plans.shape[0] full epochs in one program.
+
+            best_v / best_t: device-resident best-model snapshots
+            (dicts with pm/pb/pv/oms/ovs/bank/epoch/metric), threaded
+            through the scan and conditionally replaced after each
+            epoch's evals — the in-graph equivalent of the host's
+            _device_snapshot + current_result_better bookkeeping
+            (ref: Solver.py:59-93)."""
+            d_common = bank.F.shape[1]
+            bank_dtype = bank.F.dtype
+
+            def body(carry, inp):
+                (p_main, p_bert, p_vmi, oms, ovs, bank, bv, bt) = carry
+                (idx_plan, mask_plan, labels_stack, ks, lr_m, lr_v,
+                 epoch_id) = inp
+                oms.hyperparams["learning_rate"] = lr_m
+                ovs.hyperparams["learning_rate"] = lr_v
+
+                batches = jax.tree_util.tree_map(
+                    lambda a: jnp.take(a, idx_plan, axis=0), train_flats)
+                batches["sample_mask"] = mask_plan
+
+                # stage 1 (group epochs always have a filled bank)
+                if stage1_mode == "cached":
+                    p_vmi, ovs, loss_mi = critic_epoch_cached(
+                        p_main, p_bert, p_vmi, ovs, bank, ks[0],
+                        n_passes=n_passes, nb=idx_plan.shape[0])
+                elif stage1_mode == "fast":
+                    p_vmi, ovs, loss_mi = critic_epoch(
+                        p_main, p_bert, p_vmi, ovs, batches, labels_stack,
+                        bank, ks[0], n_passes=n_passes)
+                else:
+                    p_vmi, ovs, loss_mi = critic_epoch_fresh(
+                        p_main, p_bert, p_vmi, ovs, batches, labels_stack,
+                        bank, ks[0], n_passes=n_passes)
+
+                new_bank = FeatureBank.create(n_bank, n_valid, d_common,
+                                              dtype=bank_dtype)
+                (p_main, p_bert, oms, losses, mis, outs, new_bank) = (
+                    train_epoch(p_main, p_bert, p_vmi, oms, batches,
+                                labels_stack, bank, new_bank, ks[1],
+                                use_mi=True))
+                bank = new_bank
+
+                v_losses, v_mis, v_outs, _ = eval_epoch(
+                    p_main, p_bert, p_vmi, valid_batches, valid_labels,
+                    bank, ks[2], use_mi=True)
+                t_losses, t_mis, t_outs, _ = eval_epoch(
+                    p_main, p_bert, p_vmi, test_batches, test_labels,
+                    bank, ks[3], use_mi=True)
+
+                val_metric = _sel_metric(sel, v_outs, valid_labels,
+                                         valid_batches["sample_mask"])
+                test_metric = _sel_metric(sel, t_outs, test_labels,
+                                          test_batches["sample_mask"])
+                snap = {"pm": p_main, "pb": p_bert, "pv": p_vmi,
+                        "oms": oms, "ovs": ovs, "bank": bank,
+                        "epoch": epoch_id,
+                        "metric": jnp.float32(0)}
+                v_better = _sel_better(sel, val_metric, bv["metric"])
+                bv = _select_tree(
+                    v_better, dict(snap, metric=val_metric), bv)
+                t_better = _sel_better(sel, test_metric, bt["metric"])
+                bt = _select_tree(
+                    t_better, dict(snap, metric=test_metric), bt)
+
+                ys = (loss_mi, losses, mis, outs,
+                      v_losses, v_mis, v_outs, val_metric, v_better,
+                      t_losses, t_mis, t_outs, test_metric, t_better)
+                return (p_main, p_bert, p_vmi, oms, ovs, bank, bv, bt), ys
+
+            carry = (params_main, params_bert, params_vmi, oms, ovs, bank,
+                     best_v, best_t)
+            carry, ys = jax.lax.scan(
+                body, carry,
+                (idx_plans, mask_plans, labels_plans, rngs, lrs_main,
+                 lrs_vmi, epoch_ids))
+            return carry, ys
+
+        self.epoch_group = jax.jit(
+            epoch_group,
+            static_argnames=("n_passes", "stage1_mode", "sel", "n_bank",
+                             "n_valid"),
+            donate_argnums=(0, 1, 2, 3, 4, 5, 6, 7))
+
         self.critic_step = jax.jit(critic_step, donate_argnums=(2, 3))
         self.features_step = jax.jit(features_step)
         self.critic_update = jax.jit(critic_update, donate_argnums=(2, 3))

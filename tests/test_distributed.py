@@ -67,6 +67,34 @@ def test_dryrun_multichip_entrypoint():
     ge.dryrun_multichip(8)
 
 
+def test_mesh_step_equals_single_device_step():
+    """Fast-lane mirror of the dryrun's numeric equality check: one
+    critic_step + train_step on a dp x pp x tp mesh must match the
+    single-device step from identical initial params to <=1e-5
+    (replaces the reference's DataParallel, Solver.py:33-36)."""
+    import jax
+    import numpy as np
+
+    import __graft_entry__ as ge
+    from mimrl_tpu.parallel.mesh import make_mesh
+
+    data_axis, pipe_axis, model_axis = 2, 2, 2
+    n_micro = 2
+    bs, time_len, d_a, d_v, d_common = 8, 8, 6, 4, 16
+    cfg, model = ge._build(bs, time_len, d_a, d_v, d_common=d_common,
+                           bert_layers=4, bert_hidden=64, bert_heads=2,
+                           cube_l=4)
+    cfg = cfg.replace(mesh_data=data_axis, mesh_model=model_axis,
+                      mesh_pipe=pipe_axis, pipe_microbatches=n_micro)
+    mesh = make_mesh(data_axis, model_axis, pipe_axis)
+    inputs = ge._inputs(bs, time_len, d_a, d_v)
+    labels = jax.numpy.asarray(
+        np.random.default_rng(1).normal(size=(bs,)).astype(np.float32))
+    delta = ge._mesh_equality_check(model, cfg, mesh, inputs, labels,
+                                    4 * bs, d_common, data_axis)
+    assert delta <= 1e-5
+
+
 @pytest.mark.slow
 def test_sharded_critic_scores_are_global():
     """The [bs, bs] critic matmul must see the global batch when the

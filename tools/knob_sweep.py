@@ -55,10 +55,17 @@ def main():
         partition_params)
     from mimrl_tpu.train.steps import FeatureBank, StepFactory
 
-    bs = int(os.environ.get("BENCH_BS", 128))
-    time_len = int(os.environ.get("BENCH_TIME_LEN", 100))
+    # operating-point presets shared with bench.py (BENCH_SHAPES)
+    shapes = os.environ.get("BENCH_SHAPES", "mosi")
+    preset = {
+        "mosi": dict(bs=128, time_len=100, d_a=5, d_v=20, n_bank=1280),
+        "mosei": dict(bs=128, time_len=100, d_a=74, d_v=35, n_bank=16326),
+        "avec": dict(bs=128, time_len=150, d_a=39, d_v=49, n_bank=4000),
+    }[shapes]
+    bs = int(os.environ.get("BENCH_BS", preset["bs"]))
+    time_len = int(os.environ.get("BENCH_TIME_LEN", preset["time_len"]))
     n_steps = int(os.environ.get("BENCH_STEPS", 20))
-    d_a, d_v, d_common = 5, 20, 128
+    d_a, d_v, d_common = preset["d_a"], preset["d_v"], 128
 
     names = os.environ.get("KNOBS")
     names = names.split(",") if names else list(VARIANTS)
@@ -72,7 +79,7 @@ def main():
     }
     labels = jnp.asarray(
         np.random.default_rng(0).normal(size=(bs,)), jnp.float32)
-    n_bank = 1280
+    n_bank = int(os.environ.get("BENCH_BANK", preset["n_bank"]))
     ks = jax.random.split(jax.random.PRNGKey(1), 5)
     bank = FeatureBank.create(n_bank, n_bank, d_common).replace(
         C=jax.random.normal(ks[0], (n_bank, 1)),

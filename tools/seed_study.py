@@ -39,7 +39,8 @@ def run_one(outdir, scale, schedule, seed, epochs, data_seed):
         print(f"[seed_study] {name}: exists, skipping", flush=True)
         return out
     cmd = [sys.executable, "-m", "mimrl_tpu.tools.parity", "--synthetic",
-           "--allow_hermetic", "--full_scale", "--scale", scale,
+           "--allow_hermetic", "--full_scale", "--light_artifacts",
+           "--scale", scale,
            "--seed", str(seed), "--data_seed", str(data_seed),
            "--epochs_num", str(epochs), "--task_name", f"seed_{name}",
            "--out", out]
