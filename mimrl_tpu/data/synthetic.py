@@ -41,11 +41,19 @@ def make_sdk_fixture(
     d_video: int = 35,
     max_len: int = 12,
     seed: int = 0,
+    fixed_len: int | None = None,
 ) -> None:
     """CMU-SDK schema (ref: DataLoaderCMUSDK.py:12-28, :86-119).
 
     Feature-list layout: text list has 6 slots (text/glove/...), audio 3
     (mosi) or 1, video 3 (mosi) or 1; unused slots get tiny arrays.
+
+    fixed_len: pin EVERY sample to exactly this a/v length and
+    fixed_len-2 words (so the reference's [CLS]+words+[SEP] token count
+    equals fixed_len). With uniform lengths the reference's batch-max
+    padding coincides with our static time_len padding, making the two
+    frameworks' time-mean semantics identical — used by the executable
+    SDK-loader comparison (tools/ref_compare.compare_solver_sdk).
     """
     rng = np.random.default_rng(seed)
     os.makedirs(root, exist_ok=True)
@@ -53,8 +61,16 @@ def make_sdk_fixture(
     for mode, n in zip(("train", "valid", "test"), n_per_split):
         entries = []
         for _ in range(n):
-            L = int(rng.integers(3, max_len))
-            words = np.asarray(_random_words(rng, 3, max_len), dtype=object)
+            if fixed_len is not None:
+                L = fixed_len
+                words = np.asarray(
+                    [_WORDS[int(i)] for i in
+                     rng.integers(0, len(_WORDS), fixed_len - 2)],
+                    dtype=object)
+            else:
+                L = int(rng.integers(3, max_len))
+                words = np.asarray(_random_words(rng, 3, max_len),
+                                   dtype=object)
             glove = rng.normal(size=(L, d_text)).astype(np.float32)
             l_feats = [None] * n_l
             l_feats[0] = words  # 'text'

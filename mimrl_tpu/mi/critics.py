@@ -62,7 +62,9 @@ class CriticModel(nn.Module):
                          self.activation, name="MLP_g")(x)
             h = MLPStack(self.hidden_dim, self.embed_dim, self.layers,
                          self.activation, name="MLP_h")(y)
-            scores = jnp.matmul(h, g.T, preferred_element_type=jnp.float32)
+            scores = jnp.matmul(h, g.T,
+                                preferred_element_type=jnp.promote_types(
+                                    h.dtype, jnp.float32))
         elif self.critic_type == "concat":
             bs = x.shape[0]
             xx = jnp.broadcast_to(x[None, :, :], (bs, bs, x.shape[-1]))  # [a,b]=x_b

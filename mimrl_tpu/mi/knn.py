@@ -78,7 +78,9 @@ def prod_knn_sample(
     Zq = Z[idx_yz]  # [m, d]
     d2 = (
         jnp.sum(Zq * Zq, axis=1, keepdims=True)
-        - 2.0 * jnp.matmul(Zq, Z.T, preferred_element_type=jnp.float32)
+        - 2.0 * jnp.matmul(Zq, Z.T,
+                           preferred_element_type=jnp.promote_types(
+                               Zq.dtype, jnp.float32))
         + jnp.sum(Z * Z, axis=1)[None, :]
     )
 

@@ -115,7 +115,8 @@ class BertEmbeddings(nn.Module):
             # "involuntarily fully rematerializes" (replicate +
             # repartition) to reach the seq-parallel layout
             x = jax.lax.with_sharding_constraint(x, c.seq_sharding)
-        x = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=jnp.float32,
+        x = nn.LayerNorm(epsilon=c.layer_norm_eps,
+                         dtype=jnp.promote_types(c.dtype, jnp.float32),
                          name="layer_norm")(x).astype(c.dtype)
         return nn.Dropout(c.hidden_dropout_prob)(x, deterministic=deterministic)
 
@@ -167,23 +168,31 @@ class BertSelfAttention(nn.Module):
 
             def core(q, k, v):
                 if fold:  # q/k/v [bs, T, nh, hd]: heads stay in place
-                    scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
-                                        preferred_element_type=jnp.float32)
+                    scores = jnp.einsum(
+                        "bqhd,bkhd->bhqk", q, k,
+                        preferred_element_type=jnp.promote_types(
+                            c.dtype, jnp.float32))
                 else:     # q/k/v [bs, nh, T, hd]
-                    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
-                                        preferred_element_type=jnp.float32)
-                scores = scores / jnp.sqrt(jnp.float32(hd)) + attn_bias
+                    scores = jnp.einsum(
+                        "bhqd,bhkd->bhqk", q, k,
+                        preferred_element_type=jnp.promote_types(
+                            c.dtype, jnp.float32))
+                scores = scores / jnp.sqrt(
+                    scores.dtype.type(hd)) + attn_bias
                 probs = jax.nn.softmax(scores, axis=-1)  # float32
                 if key is not None:
                     keep = jax.random.bernoulli(key, 1.0 - p_rate,
                                                 probs.shape)
                     probs = jnp.where(keep, probs / (1.0 - p_rate), 0.0)
                 if fold:
-                    return jnp.einsum("bhqk,bkhd->bqhd",
-                                      probs.astype(c.dtype), v,
-                                      preferred_element_type=jnp.float32)
-                return jnp.einsum("bhqk,bhkd->bhqd", probs.astype(c.dtype),
-                                  v, preferred_element_type=jnp.float32)
+                    return jnp.einsum(
+                        "bhqk,bkhd->bqhd", probs.astype(c.dtype), v,
+                        preferred_element_type=jnp.promote_types(
+                            c.dtype, jnp.float32))
+                return jnp.einsum(
+                    "bhqk,bhkd->bhqd", probs.astype(c.dtype), v,
+                    preferred_element_type=jnp.promote_types(
+                        c.dtype, jnp.float32))
 
             if c.attn_remat:
                 core = jax.checkpoint(core)
@@ -197,7 +206,8 @@ class BertSelfAttention(nn.Module):
         ctx = ctx.astype(c.dtype)
         out = make_dense(c.quant, H, c.dtype, "output_dense")(ctx)
         out = nn.Dropout(c.hidden_dropout_prob)(out, deterministic=deterministic)
-        return nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=jnp.float32,
+        return nn.LayerNorm(epsilon=c.layer_norm_eps,
+                            dtype=jnp.promote_types(c.dtype, jnp.float32),
                             name="output_layer_norm")(
             out + x).astype(c.dtype)
 
@@ -221,7 +231,8 @@ class BertLayer(nn.Module):
             h = jax.nn.gelu(h, approximate=False)
         h = make_dense(c.quant, c.hidden_size, c.dtype, "output_dense")(h)
         h = nn.Dropout(c.hidden_dropout_prob)(h, deterministic=deterministic)
-        return nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=jnp.float32,
+        return nn.LayerNorm(epsilon=c.layer_norm_eps,
+                            dtype=jnp.promote_types(c.dtype, jnp.float32),
                             name="output_layer_norm")(
             h + x).astype(c.dtype)
 

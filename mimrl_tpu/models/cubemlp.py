@@ -89,11 +89,13 @@ class AxisMLP(nn.Module):
                 return fused_axis_mlp(x, w1, w2, b1, b2, self.axis,
                                       self.activate, interpret=interpret)
 
-        h = jnp.einsum(eqn, x, w1, preferred_element_type=jnp.float32)
+        h = jnp.einsum(eqn, x, w1, preferred_element_type=jnp.promote_types(
+            x.dtype, jnp.float32))
         if self.use_bias:
             h = h + _axis_bias(b1, self.axis)
         h = act(h)
-        out = jnp.einsum(eqn, h, w2, preferred_element_type=jnp.float32)
+        out = jnp.einsum(eqn, h, w2, preferred_element_type=jnp.promote_types(
+            h.dtype, jnp.float32))
         if self.use_bias:
             out = out + _axis_bias(b2, self.axis)
         return out
@@ -120,7 +122,8 @@ class AxisResProject(nn.Module):
             jnp.float32,
         )
         return jnp.einsum(_AXIS_EQNS[self.axis], x, w,
-                          preferred_element_type=jnp.float32)
+                          preferred_element_type=jnp.promote_types(
+                              x.dtype, jnp.float32))
 
 
 class AxisLayerNorm(nn.Module):

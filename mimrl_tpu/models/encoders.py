@@ -86,7 +86,8 @@ def _fused_bidir_scan(cell: str, H: int, x_proj: Array, w_hh: Array,
     def recur(h):
         return (
             jnp.einsum("dbh,dhg->dbg", h, w_hh,
-                       preferred_element_type=jnp.float32)
+                       preferred_element_type=jnp.promote_types(
+                           h.dtype, jnp.float32))
             + b_hh[:, None, :]
         )
 
@@ -163,7 +164,8 @@ class BiRnnEncoder(nn.Module):
             # hoisted input projections for both directions (MXU)
             xp = (
                 jnp.einsum("btd,zdg->btzg", x, w_ih,
-                           preferred_element_type=jnp.float32)
+                           preferred_element_type=jnp.promote_types(
+                               x.dtype, jnp.float32))
                 + b_ih[None, None]
             )  # [bs, T, 2, G*H]
             xp = jnp.moveaxis(xp, 0, 2)  # [T, 2, bs, G*H]
@@ -215,7 +217,8 @@ def run_bidir_pair(cell: str, hidden: int, num_layers: int,
         b_ih = jnp.stack([pf["b_ih"], pb["b_ih"]])  # [2, G*H]
         xp = (
             jnp.einsum("btd,zdg->btzg", x, w_ih,
-                       preferred_element_type=jnp.float32)
+                       preferred_element_type=jnp.promote_types(
+                           x.dtype, jnp.float32))
             + b_ih[None, None]
         )  # [bs, T, 2, G*H]
         xp = jnp.moveaxis(xp, 0, 2)  # [T, 2, bs, G*H]
