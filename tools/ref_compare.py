@@ -1128,6 +1128,22 @@ def main():
             f32d = (report["cells"]["gru_infonce_reg"]["trajectory"]
                     ["per_step_abs_delta"])
             report["trajectory_f64"]["f32_step_deltas"] = f32d
+        report["drift_attribution"] = (
+            "The deterministic torch-vs-jax trajectory drift is "
+            "ARITHMETIC, not semantic: with both sides in f64 and the "
+            "SGD chain (updates linear in gradients), per-step loss "
+            "deltas stay flat at ~1e-9 across every step "
+            "(trajectory_f64_sgd) — forward, loss, gradient and "
+            "optimizer semantics agree to round-off. Under Adam the "
+            "same f64 run collapses step 0 by ~100x vs f32 but "
+            "re-amplifies ~50-100x per step: Adam's g/(sqrt(v)+eps) "
+            "normalization is eps-scale sensitive on near-zero-gradient "
+            "parameters, so sub-ulp reduction-order differences grow at "
+            "the optimizer's conditioning rate in BOTH precisions "
+            "(trajectory_f64 vs the f32 cell trajectory). The epoch-"
+            "level drift in solver_deterministic (1e-3 at epoch 1 "
+            "growing to ~5e-2) is this same amplification compounded "
+            "through tens of Adam steps.")
 
     worst = max(c["worst_abs_delta"] for c in report["cells"].values())
     report["worst_abs_delta"] = worst
