@@ -143,6 +143,17 @@ def test_bert_weights_checks(tmp_path):
         f.code for f in check_bert_weights(str(tmp_path / "no.bin"), 768)]
 
 
+def test_parity_harness_refuses_on_preflight_errors(tmp_path):
+    """The parity harness must refuse a real-data run whose inputs fail
+    preflight (before building any model/solver)."""
+    from mimrl_tpu.tools import parity
+
+    with pytest.raises(SystemExit) as e:
+        parity.main(["--data_dir", str(tmp_path / "nothing_here"),
+                     "--allow_hermetic"])
+    assert "preflight" in str(e.value)
+
+
 def test_cli_exit_code(tmp_path, dec_root, capsys):
     from mimrl_tpu.data import preflight
 
