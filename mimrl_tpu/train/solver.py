@@ -807,7 +807,8 @@ class Solver:
                         f"(group of {g})" + self._hbm_suffix())
             self.log_tf_board(epoch, train_loss, train_mis, train_score,
                               val_loss, val_mis, val_score, test_loss,
-                              test_mis, test_score)
+                              test_mis, test_score,
+                              lr_factor=meta["factors"][i])
 
     def _dev_best_to_state(self, b) -> Optional[Dict]:
         """Convert a device-resident best snapshot (epoch_group carry
@@ -1291,8 +1292,11 @@ class Solver:
 
     def log_tf_board(self, epoch, train_loss, train_mis, train_score,
                      val_loss, val_mis, val_score, test_loss, test_mis,
-                     test_score):
-        """Same channel names as ref: Solver.py:467-507."""
+                     test_score, lr_factor=None):
+        """Same channel names as ref: Solver.py:467-507. `lr_factor`
+        overrides the live schedule factor — grouped dispatch advances
+        the schedule for the whole group up front, so per-epoch Lr
+        channels must use the factor the epoch actually ran with."""
         for tag, loss, mis, score in (
             ("Train", train_loss, train_mis, train_score),
             ("Val", val_loss, val_mis, val_score),
@@ -1305,8 +1309,9 @@ class Solver:
                 self.writer.add_scalar(f"{tag}/{name}", value, epoch)
             for key in score:
                 self.writer.add_scalar(f"{tag}/{key}", score[key], epoch)
-        self.writer.add_scalar(
-            "Lr", self.base_lr_main * self.lr_schedule.factor, epoch)
+        factor = (self.lr_schedule.factor if lr_factor is None
+                  else lr_factor)
+        self.writer.add_scalar("Lr", self.base_lr_main * factor, epoch)
         self.writer.flush()
 
     def log_best_scores(self, best_score):
