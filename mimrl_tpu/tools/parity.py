@@ -161,8 +161,7 @@ def run_parity(args) -> dict:
             "acknowledge this (synthetic-fixture CI does).")
 
     overrides = dict(
-        dataset=("mosei_Dec" if (args.synthetic and args.scale == "mosei")
-                 else "mosi_Dec"),
+        dataset=("mosei_Dec" if args.scale == "mosei" else "mosi_Dec"),
         data_dir=data_dir, bert_vocab=args.bert_vocab,
         bert_weights=args.bert_weights, task_dir=args.task_dir,
         task_name=args.task_name, epochs_num=args.epochs_num,

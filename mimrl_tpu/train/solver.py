@@ -695,7 +695,11 @@ class Solver:
                 np.int32 if opt.task == "classification" else np.float32))
             factors.append(self.lr_schedule.factor)
             self.lr_schedule.step(None)
-            self._epoch_meta[e0 + i] = self.lr_schedule.factor
+            # post-step factor + the global_step this epoch will END at,
+            # so a best checkpoint resumes exactly like a per-epoch
+            # snapshot taken after this epoch
+            self._epoch_meta[e0 + i] = (self.lr_schedule.factor,
+                                        self.global_step + 4 * (i + 1))
         lrs_main = np.asarray([self.base_lr_main * f for f in factors],
                               np.float32)
         lrs_vmi = np.asarray([self.base_lr_vmi * f for f in factors],
@@ -816,15 +820,15 @@ class Solver:
         epoch = int(b["epoch"])
         if epoch < 0:
             return None
+        factor, gstep = getattr(self, "_epoch_meta", {}).get(
+            epoch, (self.lr_schedule.factor, self.global_step))
         return {
             "epoch": epoch,
             "params_main": b["pm"], "params_bert": b["pb"],
             "params_vmi": b["pv"],
             "opt_main_state": b["oms"], "opt_vmi_state": b["ovs"],
             "bank": b["bank"],
-            "lr_factor": getattr(self, "_epoch_meta", {}).get(
-                epoch, self.lr_schedule.factor),
-            "global_step": self.global_step,
+            "lr_factor": factor, "global_step": gstep,
         }
 
     def _solve_loop_grouped(self, opt, tracking):
@@ -841,6 +845,13 @@ class Solver:
             fin_te = self._evaluate_epoch_scan_dispatch(self.test_loader)
             self._finalize_epoch(tracking, e, time.time() - t0, fin_tr,
                                  fin_v, fin_te)
+            # the warm-up epoch never enters _dispatch_epoch_group's
+            # meta loop; record its post-epoch factor/step so a best
+            # snapshot at this epoch carries exact resume metadata
+            if not hasattr(self, "_epoch_meta"):
+                self._epoch_meta = {}
+            self._epoch_meta[e] = (self.lr_schedule.factor,
+                                   self.global_step)
             e += 1
 
         copy = lambda t: jax.tree_util.tree_map(

@@ -7,22 +7,16 @@ import numpy as np
 
 def topk_np(matrix: np.ndarray, k: int, axis: int = 1):
     """Numpy top-k along an axis, returning (values, indices) sorted
-    descending (ref: Utils.py:321-336)."""
-    if axis == 0:
-        row_index = np.arange(matrix.shape[1])
-        topk_index = np.argpartition(-matrix, k, axis=axis)[0:k, :]
-        topk_data = matrix[topk_index, row_index]
-        sort_idx = np.argsort(-topk_data, axis=axis)
-        topk_data_sort = topk_data[sort_idx, row_index]
-        topk_index_sort = topk_index[0:k, :][sort_idx, row_index]
-    else:
-        column_index = np.arange(matrix.shape[0])[:, None]
-        topk_index = np.argpartition(-matrix, k, axis=axis)[:, 0:k]
-        topk_data = matrix[column_index, topk_index]
-        sort_idx = np.argsort(-topk_data, axis=axis)
-        topk_data_sort = topk_data[column_index, sort_idx]
-        topk_index_sort = topk_index[:, 0:k][column_index, sort_idx]
-    return topk_data_sort, topk_index_sort
+    descending — same contract as the reference's helper
+    (ref: Utils.py:321-336), expressed via take_along_axis."""
+    part = np.argpartition(matrix, -k, axis=axis)
+    unordered_idx = np.take(part, np.arange(part.shape[axis] - k,
+                                            part.shape[axis]), axis=axis)
+    unordered_val = np.take_along_axis(matrix, unordered_idx, axis=axis)
+    order = np.flip(np.argsort(unordered_val, axis=axis), axis=axis)
+    values = np.take_along_axis(unordered_val, order, axis=axis)
+    indices = np.take_along_axis(unordered_idx, order, axis=axis)
+    return values, indices
 
 
 def whether_type_str(data) -> bool:

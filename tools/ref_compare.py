@@ -352,10 +352,13 @@ def compare_step_trajectory(ref, opt, ref_model, model, params, inputs,
 
     c = dict(DEFAULT_CELL, **(cell or {}))
     labels = _make_labels(cell)
+    _f64_restore = None
     if f64:
         import torch as _torch
 
         jax.config.update("jax_enable_x64", True)
+        _f64_restore = (_torch, _torch.Tensor.float,
+                        _torch.get_default_dtype())
         # the reference allocates f32 constants inside its modules
         # (e.g. VCMI's BCE targets, Model.py:190-198) — double the
         # default dtype so its whole graph runs in f64. It ALSO
@@ -373,125 +376,134 @@ def compare_step_trajectory(ref, opt, ref_model, model, params, inputs,
                        for x in inputs)
         labels = labels.astype(np.float64)
         bank_np = {k: v.astype(np.float64) for k, v in bank_np.items()}
-    # classification: the reference's stage-2 tiles the (long) class-id
-    # labels into C_F (Model.py:345) and later torch.cat's them with
-    # float features inside the CMI estimators — a dtype error in the
-    # reference itself, i.e. its classification path runs without the
-    # in-model MI term. The cell therefore pins head+CE+optimizer with
-    # coef2=0; the MI machinery is identical across tasks and pinned by
-    # the regression cells.
-    coef2 = 0.0 if c["task"] == "classification" else 0.01
-    knn_per_step = [sample_knn_with_reference(ref, bank_np, seed=100 + s)
-                    for s in range(n_steps)]
-
-    # ---- reference side ----
-    ref_model.train()  # dropout is 0.0 everywhere, so still deterministic
-    t_in = [torch.from_numpy(x) for x in inputs]
-    t_labels = torch.from_numpy(labels)
-    bank_t = {k: torch.from_numpy(v) for k, v in bank_np.items()}
-    vmi_p, main_p, bert_p = [], [], []
-    for name, p in ref_model.named_parameters():
-        if "bert" in name:
-            bert_p.append(p)
-        elif "vmi" in name or "vcmi" in name:
-            vmi_p.append(p)
-        else:
-            main_p.append(p)
-    if optm == "SGD":
-        # reference SGD recipe: momentum 0.9 (Solver.py:146-148)
-        optim = torch.optim.SGD(
-            [{"params": bert_p, "lr": 4e-3},
-             {"params": main_p, "lr": 4e-3}], lr=4e-3, momentum=0.9)
-    else:
-        optim = torch.optim.Adam(
-            [{"params": bert_p, "lr": 4e-3},
-             {"params": main_p, "lr": 4e-3}],
-            lr=4e-3, weight_decay=0.0)
-    replay = _ReplaySampler(knn_per_step[0])
-    orig = ref["Model"].prod_knn_sample
-    ref["Model"].prod_knn_sample = replay
-    ref_losses = []
+    # the patches above are process-global: restore them whatever
+    # happens below so later sections / reordered cells see stock
+    # torch (f32 default, real Tensor.float)
     try:
-        for s in range(n_steps):
-            replay.knn = knn_per_step[s]
-            replay.reset()
-            out = ref_model(*t_in, return_features=True)
-            task = _ref_task_loss(torch, opt, out[0], t_labels)
-            if coef2:
-                _, losses2 = ref_model.compute_vmi_loss_stage2(
-                    out[0], t_labels, *out[1:5], bank_t["C"], bank_t["F"],
-                    bank_t["T"], bank_t["A"], bank_t["V"])
-                loss = task + coef2 * sum(losses2)
+        # classification: the reference's stage-2 tiles the (long) class-id
+        # labels into C_F (Model.py:345) and later torch.cat's them with
+        # float features inside the CMI estimators — a dtype error in the
+        # reference itself, i.e. its classification path runs without the
+        # in-model MI term. The cell therefore pins head+CE+optimizer with
+        # coef2=0; the MI machinery is identical across tasks and pinned by
+        # the regression cells.
+        coef2 = 0.0 if c["task"] == "classification" else 0.01
+        knn_per_step = [sample_knn_with_reference(ref, bank_np, seed=100 + s)
+                        for s in range(n_steps)]
+
+        # ---- reference side ----
+        ref_model.train()  # dropout is 0.0 everywhere, so still deterministic
+        t_in = [torch.from_numpy(x) for x in inputs]
+        t_labels = torch.from_numpy(labels)
+        bank_t = {k: torch.from_numpy(v) for k, v in bank_np.items()}
+        vmi_p, main_p, bert_p = [], [], []
+        for name, p in ref_model.named_parameters():
+            if "bert" in name:
+                bert_p.append(p)
+            elif "vmi" in name or "vcmi" in name:
+                vmi_p.append(p)
             else:
-                loss = task
-            optim.zero_grad()
-            loss.backward()
-            torch.nn.utils.clip_grad_value_(
-                [p for p in ref_model.parameters() if p.requires_grad],
-                1.0)
-            optim.step()
-            ref_losses.append(float(loss))
+                main_p.append(p)
+        if optm == "SGD":
+            # reference SGD recipe: momentum 0.9 (Solver.py:146-148)
+            optim = torch.optim.SGD(
+                [{"params": bert_p, "lr": 4e-3},
+                 {"params": main_p, "lr": 4e-3}], lr=4e-3, momentum=0.9)
+        else:
+            optim = torch.optim.Adam(
+                [{"params": bert_p, "lr": 4e-3},
+                 {"params": main_p, "lr": 4e-3}],
+                lr=4e-3, weight_decay=0.0)
+        replay = _ReplaySampler(knn_per_step[0])
+        orig = ref["Model"].prod_knn_sample
+        ref["Model"].prod_knn_sample = replay
+        ref_losses = []
+        try:
+            for s in range(n_steps):
+                replay.knn = knn_per_step[s]
+                replay.reset()
+                out = ref_model(*t_in, return_features=True)
+                task = _ref_task_loss(torch, opt, out[0], t_labels)
+                if coef2:
+                    _, losses2 = ref_model.compute_vmi_loss_stage2(
+                        out[0], t_labels, *out[1:5], bank_t["C"], bank_t["F"],
+                        bank_t["T"], bank_t["A"], bank_t["V"])
+                    loss = task + coef2 * sum(losses2)
+                else:
+                    loss = task
+                optim.zero_grad()
+                loss.backward()
+                torch.nn.utils.clip_grad_value_(
+                    [p for p in ref_model.parameters() if p.requires_grad],
+                    1.0)
+                optim.step()
+                ref_losses.append(float(loss))
+        finally:
+            ref["Model"].prod_knn_sample = orig
+
+        # ---- our side: production optimizer chain ----
+        cfg = MimrlConfig(
+            dataset="mosi_Dec", batch_size=BS, time_len=TIME_LEN,
+            d_common=D_COMMON, task=c["task"], num_class=c["num_class"],
+            d_hiddens=[[12, 3, 128], [4, 3, 128]], d_outs=[[12, 3, 128], [4, 3, 128]],
+            dropout_mlp=[0.0, 0.0, 0.0], dropout=[0.0, 0.0, 0.0, 0.0],
+            bias=True, res_project=[True, True], loss=c["loss"], optm=optm,
+            learning_rate=4e-3, gradient_clip=1.0, weight_decay=0.0,
+            loss_mi_coefficient1=[1.0] * 11,
+            loss_mi_coefficient2=[coef2] * 8, k_neighbor=2)
+        p_main, p_bert, p_vmi = partition_params(params)
+        opt_main = make_main_optimizer(cfg, p_main, p_bert)
+        opt_state = opt_main.init(merge_params(p_main, p_bert))
+        merged_mb = merge_params(p_main, p_bert)
+
+        j_in = (jnp.asarray(inputs[0].astype(np.int32)),
+                jnp.asarray(inputs[1].astype(np.int32)),
+                jnp.asarray(inputs[2].astype(np.int32)),
+                jnp.asarray(inputs[3]), jnp.asarray(inputs[4]))
+        j_labels = jnp.asarray(
+            labels.astype(np.int32) if c["task"] == "classification"
+            else labels)
+
+        import optax
+
+        def loss_fn(mb_params, knn_j):
+            full = dict(mb_params, **p_vmi)
+            out = model.apply({"params": full}, *j_in, deterministic=True,
+                              return_features=True)
+            task = compute_task_loss(c["loss"], c["num_class"], out[0],
+                                     j_labels)
+            if coef2:
+                _, losses2 = model.apply(
+                    {"params": full}, j_labels, *out[1:5], knn_j,
+                    method=MimrlModel.compute_vmi_loss_stage2)
+                return task + coef2 * sum(losses2), (task, sum(losses2))
+            return task, (task, 0.0)
+
+        @jax.jit
+        def step(mb_params, opt_state, knn_j):
+            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                mb_params, knn_j)
+            updates, opt_state = opt_main.update(grads, opt_state, mb_params)
+            return optax.apply_updates(mb_params, updates), opt_state, loss, aux
+
+        our_losses = []
+        for s in range(n_steps):
+            knn_j = {k: tuple(jnp.asarray(a) for a in v)
+                     for k, v in knn_per_step[s].items()}
+            merged_mb, opt_state, loss, aux = step(merged_mb, opt_state, knn_j)
+            our_losses.append(float(loss))
+            if os.environ.get("REFCMP_DEBUG"):
+                print(f"our step {s}: task={float(aux[0]):.6f} "
+                      f"mi_sum={float(aux[1]):.6f}", flush=True)
+
+        deltas = [abs(r - o) for r, o in zip(ref_losses, our_losses)]
+        return {"ref_losses": ref_losses, "our_losses": our_losses,
+                "per_step_abs_delta": deltas}
     finally:
-        ref["Model"].prod_knn_sample = orig
-
-    # ---- our side: production optimizer chain ----
-    cfg = MimrlConfig(
-        dataset="mosi_Dec", batch_size=BS, time_len=TIME_LEN,
-        d_common=D_COMMON, task=c["task"], num_class=c["num_class"],
-        d_hiddens=[[12, 3, 128], [4, 3, 128]], d_outs=[[12, 3, 128], [4, 3, 128]],
-        dropout_mlp=[0.0, 0.0, 0.0], dropout=[0.0, 0.0, 0.0, 0.0],
-        bias=True, res_project=[True, True], loss=c["loss"], optm=optm,
-        learning_rate=4e-3, gradient_clip=1.0, weight_decay=0.0,
-        loss_mi_coefficient1=[1.0] * 11,
-        loss_mi_coefficient2=[coef2] * 8, k_neighbor=2)
-    p_main, p_bert, p_vmi = partition_params(params)
-    opt_main = make_main_optimizer(cfg, p_main, p_bert)
-    opt_state = opt_main.init(merge_params(p_main, p_bert))
-    merged_mb = merge_params(p_main, p_bert)
-
-    j_in = (jnp.asarray(inputs[0].astype(np.int32)),
-            jnp.asarray(inputs[1].astype(np.int32)),
-            jnp.asarray(inputs[2].astype(np.int32)),
-            jnp.asarray(inputs[3]), jnp.asarray(inputs[4]))
-    j_labels = jnp.asarray(
-        labels.astype(np.int32) if c["task"] == "classification"
-        else labels)
-
-    import optax
-
-    def loss_fn(mb_params, knn_j):
-        full = dict(mb_params, **p_vmi)
-        out = model.apply({"params": full}, *j_in, deterministic=True,
-                          return_features=True)
-        task = compute_task_loss(c["loss"], c["num_class"], out[0],
-                                 j_labels)
-        if coef2:
-            _, losses2 = model.apply(
-                {"params": full}, j_labels, *out[1:5], knn_j,
-                method=MimrlModel.compute_vmi_loss_stage2)
-            return task + coef2 * sum(losses2), (task, sum(losses2))
-        return task, (task, 0.0)
-
-    @jax.jit
-    def step(mb_params, opt_state, knn_j):
-        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            mb_params, knn_j)
-        updates, opt_state = opt_main.update(grads, opt_state, mb_params)
-        return optax.apply_updates(mb_params, updates), opt_state, loss, aux
-
-    our_losses = []
-    for s in range(n_steps):
-        knn_j = {k: tuple(jnp.asarray(a) for a in v)
-                 for k, v in knn_per_step[s].items()}
-        merged_mb, opt_state, loss, aux = step(merged_mb, opt_state, knn_j)
-        our_losses.append(float(loss))
-        if os.environ.get("REFCMP_DEBUG"):
-            print(f"our step {s}: task={float(aux[0]):.6f} "
-                  f"mi_sum={float(aux[1]):.6f}", flush=True)
-
-    deltas = [abs(r - o) for r, o in zip(ref_losses, our_losses)]
-    return {"ref_losses": ref_losses, "our_losses": our_losses,
-            "per_step_abs_delta": deltas}
+        if _f64_restore is not None:
+            _t, _float, _dtype = _f64_restore
+            _t.Tensor.float = _float
+            _t.set_default_dtype(_dtype)
 
 
 def compare_two_stage_trajectory(ref, opt, ref_model, model, params,
