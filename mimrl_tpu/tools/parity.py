@@ -170,6 +170,8 @@ def run_parity(args) -> dict:
         epoch_group=args.epoch_group,
         pipeline_epochs=getattr(args, "pipeline_epochs", True),
         compute_dtype=args.compute_dtype, quant=args.quant,
+        moment_dtype=args.moment_dtype, bank_dtype=args.bank_dtype,
+        fused_optim=args.fused_optim,
         save_latest_every=0,
     )
     if args.light_artifacts:
@@ -300,6 +302,15 @@ def main(argv=None):
     ap.add_argument("--no_epoch_scan", dest="epoch_scan",
                     action="store_false")
     ap.add_argument("--compute_dtype", default="bfloat16")
+    ap.add_argument("--moment_dtype", default="float32",
+                    choices=["float32", "bfloat16"],
+                    help="optimizer first-moment/momentum dtype "
+                         "(seed-study surface for the moment_bf16 knob)")
+    ap.add_argument("--bank_dtype", default="float32",
+                    choices=["float32", "bfloat16"],
+                    help="feature-bank storage dtype")
+    ap.add_argument("--fused_optim", action="store_true",
+                    help="single-pass fused Adam (bit-matching optax)")
     ap.add_argument("--quant", default="none",
                     choices=["none", "int8_fwd", "int8", "int8_all"])
     ap.add_argument("--task_dir", default="./TaskRuning")

@@ -390,17 +390,66 @@ class Solver:
                 lambda flats, idx: jax.tree_util.tree_map(
                     lambda a: jnp.take(a, idx, axis=0), flats))
         if loader not in self._flat_cache:
-            if self.raw_text:
+            if self.raw_text and loader._token_cache is not None:
                 ids, types, amask = loader._token_cache
                 flats = {"bert_sentences": ids,
                          "bert_sentence_types": types,
                          "bert_sentence_att_mask": amask,
                          "audio": loader._audio, "video": loader._video}
+            elif self.raw_text:
+                # AVEC random-word text: tokens ship as per-epoch plans
+                # (epoch_group text_plans); only the static modalities
+                # are device-resident
+                flats = {"audio": loader._audio, "video": loader._video}
             else:
                 flats = {"text": loader._text_feat,
                          "audio": loader._audio, "video": loader._video}
-            self._flat_cache[loader] = jax.device_put(flats)
+            if self.mesh is not None:
+                # replicate across the dp mesh: the grouped program
+                # gathers per-device batches and pins their layout
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                flats = jax.device_put(
+                    flats, NamedSharding(self.mesh, P()))
+            else:
+                flats = jax.device_put(flats)
+            self._flat_cache[loader] = flats
         return self._flat_cache[loader]
+
+    def _stack_eval_static(self, loader):
+        """Epoch-constant eval stack for AVEC grouped mode: modalities,
+        labels and masks are fixed across epochs (shuffle off); the
+        random-word TEXT is the only per-epoch part and ships as token
+        plans. Does NOT touch the loader's RNG stream/epoch counter —
+        the token pre-draw in _dispatch_epoch_group consumes those
+        exactly like __iter__ would (ref: Customization.py:66-76)."""
+        if not hasattr(self, "_eval_static_cache"):
+            self._eval_static_cache = {}
+        if loader in self._eval_static_cache:
+            return self._eval_static_cache[loader]
+        # shuffle=False: the plan is deterministic, rng is never drawn
+        idx_plan, mask_plan = loader.epoch_index_plan(
+            np.random.default_rng(0))
+        batches = {
+            "audio": loader._audio[idx_plan],
+            "video": loader._video[idx_plan],
+            "sample_mask": mask_plan.astype(np.float32),
+        }
+        ds_labels = [np.asarray(l) for l in loader.ds.labels]
+        lab_all = np.asarray(self.get_label_from_datas(
+            {"labels": ds_labels}))
+        labels_np = [lab_all[idx_plan[b]]
+                     for b in range(idx_plan.shape[0])]
+        labels_stack = np.stack([
+            lab.astype(np.int32 if self.opt.task == "classification"
+                       else np.float32) for lab in labels_np])
+        masks = [mask_plan[b] > 0.5 for b in range(idx_plan.shape[0])]
+        if self.mesh is None:
+            batches = jax.device_put(batches)
+            labels_stack = jax.device_put(labels_stack)
+        result = (batches, labels_stack, labels_np, masks,
+                  np.asarray(idx_plan))
+        self._eval_static_cache[loader] = result
+        return result
 
     def _stack_epoch_device_shuffle(self, loader):
         """Fast-path _stack_epoch for shuffled loaders: gather the epoch
@@ -643,48 +692,87 @@ class Solver:
         if self.opt.task == "classification":
             return "acc"
         if self.opt.dataset == "avec2019":
-            return None  # ccc selection stays on the per-epoch path
+            return "ccc"
         return "mae"
 
     def _group_sel_key(self) -> str:
-        return ("mae" if self.opt.task != "classification"
-                else f"{self.opt.num_class}-class_acc")
+        if self.opt.task == "classification":
+            return f"{self.opt.num_class}-class_acc"
+        return "ccc" if self.opt.dataset == "avec2019" else "mae"
+
+    def _group_mesh_ok(self) -> bool:
+        """Grouped dispatch supports pure data-parallel meshes (dcn x
+        data; pipe/model axes must be 1): the gathered batches are
+        pinned to the mesh's batch axes in-graph. TP/PP keep the
+        per-epoch path."""
+        if self.mesh is None:
+            return True
+        from mimrl_tpu.parallel.mesh import MODEL_AXIS, PIPE_AXIS
+        return (self.mesh.shape[PIPE_AXIS] == 1
+                and self.mesh.shape[MODEL_AXIS] == 1)
+
+    def _group_avec_ok(self, loader) -> bool:
+        """AVEC's per-epoch random-word text is handled by pre-drawing
+        every epoch's token plans with the loaders' own RNG streams
+        (raw-text mode only: feature-text AVEC is static anyway)."""
+        return (getattr(loader, "avec_random_word", False)
+                and self.raw_text
+                and getattr(loader, "tokenizer", None) is not None)
 
     def _group_supported(self) -> bool:
         opt = self.opt
         loader = self.train_loader
+        loader_ok = (getattr(loader, "static_tensors", False)
+                     or self._group_avec_ok(loader))
         return (opt.epoch_scan and opt.epoch_group > 1
                 and not opt.check_gradient
-                and self.mesh is None
-                and not opt.save_best_features
+                and self._group_mesh_ok()
                 and not opt.profile_dir
-                and not self.lr_schedule.needs_metric
-                and getattr(loader, "static_tensors", False)
-                and not getattr(loader, "avec_random_word", False)
+                and loader_ok
                 and os.environ.get("MIMRL_HOST_STACK") != "1"
                 and self._group_sel() is not None)
 
-    def _dispatch_epoch_group(self, e0: int, g: int, best_v, best_t):
+    def _dispatch_epoch_group(self, e0: int, g: int, best_v, best_t,
+                              pstate=None):
         """Dispatch g epochs as ONE XLA program (steps.epoch_group).
         Host work per group: g index plans (KBs), g LR factors, 4g RNG
-        keys. RNG stream, LR application points, batch composition and
-        bank flow are identical to g per-epoch dispatches."""
+        keys (+ for AVEC, g token plans per split). RNG stream, LR
+        application points, batch composition and bank flow are
+        identical to g per-epoch dispatches. Under a plateau schedule
+        the LR factor is carried in-graph (`pstate`, device arrays)
+        between groups — no host sync on the metric."""
         opt = self.opt
         loader = self.train_loader
         flats = self._loader_flats(loader)
-        vb, vlab, _, _ = self._stack_epoch(self.valid_loader)
-        tb, tlab, _, _ = self._stack_epoch(self.test_loader)
+        avec_text = self._group_avec_ok(loader)
+        if avec_text:
+            vb, vlab, _, _, v_idx = self._stack_eval_static(
+                self.valid_loader)
+            tb, tlab, _, _, t_idx = self._stack_eval_static(
+                self.test_loader)
+        else:
+            vb, vlab, _, _ = self._stack_epoch(self.valid_loader)
+            tb, tlab, _, _ = self._stack_epoch(self.test_loader)
 
         ds_labels = [np.asarray(l) for l in loader.ds.labels]
         lab_all = np.asarray(self.get_label_from_datas(
             {"labels": ds_labels}))
         if not hasattr(self, "_epoch_meta"):
             self._epoch_meta = {}
+        plateau = self.lr_schedule.needs_metric
+        gs0 = self.global_step
         idx_plans, mask_plans, labels_plans = [], [], []
         labels_np_g, masks_g, factors = [], [], []
+        text_train = []
         for i in range(g):
             rng = np.random.default_rng(loader.seed + loader._epoch)
             idx_plan, mask_plan = loader.epoch_index_plan(rng)
+            if avec_text:
+                # SAME generator, drawn after the plan — exactly the
+                # order __iter__ consumes it (pipeline.py __iter__)
+                tokens = loader._epoch_tokens(rng)
+                text_train.append(tuple(
+                    np.asarray(t)[idx_plan] for t in tokens))
             loader._epoch += 1
             idx_plans.append(np.asarray(idx_plan, np.int32))
             mask_plans.append(np.asarray(mask_plan, np.float32))
@@ -693,17 +781,72 @@ class Solver:
             masks_g.append(np.asarray(mask_plan) > 0.5)
             labels_plans.append(lab_e.astype(
                 np.int32 if opt.task == "classification" else np.float32))
-            factors.append(self.lr_schedule.factor)
-            self.lr_schedule.step(None)
-            # post-step factor + the global_step this epoch will END at,
-            # so a best checkpoint resumes exactly like a per-epoch
-            # snapshot taken after this epoch
-            self._epoch_meta[e0 + i] = (self.lr_schedule.factor,
-                                        self.global_step + 4 * (i + 1))
-        lrs_main = np.asarray([self.base_lr_main * f for f in factors],
-                              np.float32)
-        lrs_vmi = np.asarray([self.base_lr_vmi * f for f in factors],
-                             np.float32)
+            if plateau:
+                # factor decided in-graph from each epoch's valid loss;
+                # _epoch_meta is filled in _finalize_group from the
+                # emitted per-epoch LRs
+                factors.append(None)
+            else:
+                factors.append(self.lr_schedule.factor)
+                self.lr_schedule.step(None)
+                # post-step factor + the global_step this epoch will
+                # END at, so a best checkpoint resumes exactly like a
+                # per-epoch snapshot taken after this epoch
+                self._epoch_meta[e0 + i] = (self.lr_schedule.factor,
+                                            gs0 + 4 * (i + 1))
+        text_plans = None
+        if avec_text:
+            eval_text = {"valid": [], "test": []}
+            for ld, key, idxp in ((self.valid_loader, "valid", v_idx),
+                                  (self.test_loader, "test", t_idx)):
+                for i in range(g):
+                    # each loader owns an independent RNG stream
+                    # (seed + its own epoch counter), like __iter__;
+                    # shuffle=False so the plan consumes no draws
+                    e_rng = np.random.default_rng(ld.seed + ld._epoch)
+                    toks = ld._epoch_tokens(e_rng)
+                    ld._epoch += 1
+                    eval_text[key].append(tuple(
+                        np.asarray(t)[idxp] for t in toks))
+
+            def stack3(lst):
+                return tuple(np.stack([e[j] for e in lst])
+                             for j in range(3))
+
+            text_plans = {"train": stack3(text_train),
+                          "valid": stack3(eval_text["valid"]),
+                          "test": stack3(eval_text["test"])}
+
+        if plateau:
+            lrs_main = np.full(g, self.base_lr_main, np.float32)
+            lrs_vmi = np.full(g, self.base_lr_vmi, np.float32)
+            plateau_cfg = (self.lr_schedule.rate,
+                           self.lr_schedule.patience,
+                           self.lr_schedule.mode)
+            if pstate is None:
+                worst = (np.inf if self.lr_schedule.mode == "min"
+                         else -np.inf)
+                best0 = (self.lr_schedule.best
+                         if self.lr_schedule.best is not None else worst)
+                pstate = {"factor": jnp.float32(self.lr_schedule.factor),
+                          "best": jnp.float32(best0),
+                          "bad": jnp.int32(self.lr_schedule.bad_epochs)}
+        else:
+            lrs_main = np.asarray(
+                [self.base_lr_main * f for f in factors], np.float32)
+            lrs_vmi = np.asarray(
+                [self.base_lr_vmi * f for f in factors], np.float32)
+            plateau_cfg = None
+            pstate = None
+
+        batch_sharding = None
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from mimrl_tpu.parallel.mesh import batch_axes
+            batch_sharding = NamedSharding(
+                self.mesh, P(None, batch_axes(self.mesh)))
+
         counters = np.arange(self.global_step + 1,
                              self.global_step + 4 * g + 1).reshape(g, 4)
         self.global_step += 4 * g
@@ -723,16 +866,21 @@ class Solver:
             vb, vlab, tb, tlab, rngs,
             jnp.asarray(lrs_main), jnp.asarray(lrs_vmi),
             jnp.arange(e0, e0 + g, dtype=jnp.int32),
+            text_plans, pstate,
             n_passes=opt.stage1_n, stage1_mode=stage1_mode,
             sel=self._group_sel(), n_bank=self.n_bank,
-            n_valid=min(loader.num_samples, self.n_bank))
+            n_valid=min(loader.num_samples, self.n_bank),
+            plateau_cfg=plateau_cfg,
+            save_feats=bool(opt.save_best_features),
+            batch_sharding=batch_sharding)
         (self.params_main, self.params_bert, self.params_vmi,
          self.opt_main_state, self.opt_vmi_state, self.bank,
-         best_v, best_t) = carry
+         best_v, best_t, pstate) = carry
         self.have_bank = True
         meta = dict(e0=e0, g=g, labels_np=labels_np_g, masks=masks_g,
-                    factors=factors, nb=len(loader))
-        return best_v, best_t, ys, meta
+                    factors=factors, nb=len(loader), gs0=gs0,
+                    plateau=plateau)
+        return best_v, best_t, pstate, ys, meta
 
     def _finalize_group(self, tracking, ys, meta, dt):
         """Host half of one dispatched epoch group: sync the stacked
@@ -742,10 +890,29 @@ class Solver:
         opt = self.opt
         (loss_mi, losses, mis, outs,
          v_losses, v_mis, v_outs, _v_metric, v_better,
-         t_losses, t_mis, t_outs, _t_metric, t_better) = ys
+         t_losses, t_mis, t_outs, _t_metric, t_better, lr_used) = ys
         g, nb = meta["g"], meta["nb"]
-        _, _, v_labels_np, v_masks = self._stack_epoch(self.valid_loader)
-        _, _, t_labels_np, t_masks = self._stack_epoch(self.test_loader)
+        if meta.get("plateau"):
+            # the factors were decided in-graph; recover them from the
+            # emitted per-epoch POST-update LRs (matching the per-epoch
+            # plateau path, which logs/stamps after its end-of-epoch
+            # step) for TB + best-checkpoint metadata
+            facs = (np.asarray(lr_used, np.float64)
+                    / self.base_lr_main).tolist()
+            meta["factors"] = facs
+            for i in range(g):
+                self._epoch_meta[meta["e0"] + i] = (
+                    facs[i], meta["gs0"] + 4 * (i + 1))
+        if self._group_avec_ok(self.train_loader):
+            _, _, v_labels_np, v_masks, _ = self._stack_eval_static(
+                self.valid_loader)
+            _, _, t_labels_np, t_masks, _ = self._stack_eval_static(
+                self.test_loader)
+        else:
+            _, _, v_labels_np, v_masks = self._stack_epoch(
+                self.valid_loader)
+            _, _, t_labels_np, t_masks = self._stack_epoch(
+                self.test_loader)
         nv, nt = len(self.valid_loader), len(self.test_loader)
         outs_np = np.asarray(outs)
         v_outs_np, t_outs_np = np.asarray(v_outs), np.asarray(t_outs)
@@ -783,6 +950,7 @@ class Solver:
             # best-model bookkeeping: replay the DEVICE's decisions (the
             # snapshots were already selected in-graph)
             if bool(v_better_np[i]):
+                self._group_v_replaced = True
                 log_message("Better valid score found...")
                 tracking["score"][0] = val_score
                 tracking["predictions"][0] = v_preds
@@ -791,6 +959,7 @@ class Solver:
                 tracking["predictions"][2] = t_preds
                 tracking["features"][0] = tracking["features"][2] = None
             if bool(t_better_np[i]):
+                self._group_t_replaced = True
                 log_message("Better test score found...")
                 tracking["score"][1] = test_score
                 tracking["predictions"][1] = t_preds
@@ -881,11 +1050,12 @@ class Solver:
         best_t = seed(tracking["test_state"], tracking["score"][1])
 
         pending = None  # (ys, meta, t0)
+        pstate = None   # in-graph plateau-LR state, threaded group→group
         while e < opt.epochs_num and not self._preempted:
             g = min(opt.epoch_group, opt.epochs_num - e)
             t0 = time.time()
-            best_v, best_t, ys, meta = self._dispatch_epoch_group(
-                e, g, best_v, best_t)
+            best_v, best_t, pstate, ys, meta = self._dispatch_epoch_group(
+                e, g, best_v, best_t, pstate)
             if pending is not None:
                 p_ys, p_meta, p_t0 = pending
                 self._finalize_group(tracking, p_ys, p_meta, t0 - p_t0)
@@ -904,6 +1074,43 @@ class Solver:
             log_message(f"Preemption requested — checkpointing at epoch "
                         f"{e - 1} and stopping.")
             self.ckpt.save("latest", self._state_dict(e - 1))
+
+        if pstate is not None:
+            # sync the host plateau schedule from the in-graph state so
+            # resume metadata and any later reads agree with the device
+            self.lr_schedule.factor = float(pstate["factor"])
+            best_metric = float(pstate["best"])
+            self.lr_schedule.best = (
+                None if not np.isfinite(best_metric) else best_metric)
+            self.lr_schedule.bad_epochs = int(pstate["bad"])
+
+        if opt.save_best_features and "feats_v" in best_v:
+            # stream the eval features of the winning epochs from the
+            # device snapshots (the per-epoch path stores them at each
+            # better-epoch; grouped mode keeps them in-snapshot instead)
+            if self._group_avec_ok(self.train_loader):
+                _, _, _, v_masks, _ = self._stack_eval_static(
+                    self.valid_loader)
+                _, _, _, t_masks, _ = self._stack_eval_static(
+                    self.test_loader)
+            else:
+                _, _, _, v_masks = self._stack_epoch(self.valid_loader)
+                _, _, _, t_masks = self._stack_epoch(self.test_loader)
+
+            def fmt(feats, masks):
+                feats_np = [np.asarray(f) for f in feats]
+                return [[f[i][m] for f in feats_np]
+                        for i, m in enumerate(masks)]
+
+            # only when the device actually replaced the snapshot — a
+            # never-beaten SEED snapshot (e.g. the warm-up epoch's
+            # host-tracked best) carries zero feats, and the host copy
+            # in tracking[] is already correct for it
+            if getattr(self, "_group_v_replaced", False):
+                tracking["features"][0] = fmt(best_v["feats_v"], v_masks)
+                tracking["features"][2] = fmt(best_v["feats_t"], t_masks)
+            if getattr(self, "_group_t_replaced", False):
+                tracking["features"][1] = fmt(best_t["feats_t"], t_masks)
 
         # device-tracked best states become the persisted best states
         v_state = self._dev_best_to_state(best_v)
@@ -1134,9 +1341,10 @@ class Solver:
         if opt.epoch_group > 1:
             log_message(
                 "WARNING: --epoch_group requires --epoch_scan + a "
-                "device-shuffle-capable loader + metric-independent LR "
-                "(and no save_best_features/check_gradient/profiling/"
-                "mesh); falling back to per-epoch dispatch.")
+                "device-shuffle-capable (or AVEC raw-text) loader, a "
+                "data-parallel-only mesh (pipe=model=1), and no "
+                "check_gradient/profiling; falling back to per-epoch "
+                "dispatch.")
         scan_mode = opt.epoch_scan and not opt.check_gradient
         # Pipelined epochs: epoch e's host work (metric battery, TB/log,
         # best bookkeeping, checkpoint pulls) overlaps epoch e+1's device

@@ -634,13 +634,26 @@ class StepFactory:
             outs [NB, bs, C] / labels [NB, bs] / mask [NB, bs] f32.
             sel: the reference's model-selection rule
             (ref: Solver.py:425-436 / eval/metrics.current_result_better):
-            regression -> MAE down; classification -> acc up."""
+            regression -> MAE down; classification -> acc up;
+            AVEC2019 -> CCC up (eval/metrics.ccc_score, ref Utils.py:37-49)."""
             m = mask.reshape(-1)
             if sel == "mae":
                 p = outs.reshape(-1)
                 t = labels.reshape(-1)
                 return jnp.sum(jnp.abs(p - t) * m) / jnp.maximum(
                     jnp.sum(m), 1.0)
+            if sel == "ccc":
+                # masked concordance correlation: the host ccc_score over
+                # the mask-filtered predictions, expressed as masked sums
+                p = outs.reshape(-1)
+                t = labels.reshape(-1)
+                n = jnp.maximum(jnp.sum(m), 1.0)
+                mx = jnp.sum(p * m) / n
+                my = jnp.sum(t * m) / n
+                cov = jnp.sum((p - mx) * (t - my) * m) / n
+                vx = jnp.sum(jnp.square(p - mx) * m) / n
+                vy = jnp.sum(jnp.square(t - my) * m) / n
+                return 2 * cov / (vx + vy + jnp.square(mx - my))
             if sel == "acc":
                 if outs.shape[-1] == 1:
                     pred = (outs.reshape(-1) > 0).astype(jnp.int32)
@@ -661,8 +674,11 @@ class StepFactory:
                         valid_batches, valid_labels,
                         test_batches, test_labels,
                         rngs, lrs_main, lrs_vmi, epoch_ids,
+                        text_plans, plateau_state,
                         n_passes: int, stage1_mode: str, sel: str,
-                        n_bank: int, n_valid: int):
+                        n_bank: int, n_valid: int,
+                        plateau_cfg=None, save_feats: bool = False,
+                        batch_sharding=None):
             """Run G = idx_plans.shape[0] full epochs in one program.
 
             best_v / best_t: device-resident best-model snapshots
@@ -670,20 +686,56 @@ class StepFactory:
             through the scan and conditionally replaced after each
             epoch's evals — the in-graph equivalent of the host's
             _device_snapshot + current_result_better bookkeeping
-            (ref: Solver.py:59-93)."""
+            (ref: Solver.py:59-93).
+
+            Optional extensions (round 5):
+            - text_plans: per-epoch tokenized text ({"train"/"valid"/
+              "test": (ids, types, amask) each [G, NB, bs, T]}) for
+              AVEC's random-word augmentation (ref Customization.py:66-76)
+              — the host pre-draws every epoch's words with the loaders'
+              own RNG streams and ships the token plans; modality
+              tensors stay device-resident.
+            - plateau_state + plateau_cfg=(rate, patience, mode): the
+              ReduceLROnPlateau schedule runs IN-SCAN on this epoch's
+              valid loss (ref Solver.py:52-57,163-170): each epoch uses
+              the factor carried from the previous epoch's update, so
+              grouped dispatch no longer needs metric-independent LR.
+              lrs_main/lrs_vmi then carry the BASE lrs per epoch.
+            - save_feats: best snapshots also capture the eval feature
+              tuples (F,T,A,V per split) so --save_best_features can
+              stream them from the device at group end.
+            - batch_sharding: NamedSharding pinning the gathered train
+              batches' layout (data-parallel meshes): [NB, bs, ...]
+              with bs split over the mesh's batch axes."""
             d_common = bank.F.shape[1]
             bank_dtype = bank.F.dtype
 
             def body(carry, inp):
-                (p_main, p_bert, p_vmi, oms, ovs, bank, bv, bt) = carry
+                (p_main, p_bert, p_vmi, oms, ovs, bank, bv, bt,
+                 pstate) = carry
                 (idx_plan, mask_plan, labels_stack, ks, lr_m, lr_v,
-                 epoch_id) = inp
+                 epoch_id, text_plan) = inp
+                base_lr_m = lr_m
+                if plateau_cfg is not None:
+                    # lr_m/lr_v are the BASE lrs; the factor lives in
+                    # the carried plateau state (updated after evals)
+                    lr_m = lr_m * pstate["factor"]
+                    lr_v = lr_v * pstate["factor"]
                 oms.hyperparams["learning_rate"] = lr_m
                 ovs.hyperparams["learning_rate"] = lr_v
 
                 batches = jax.tree_util.tree_map(
                     lambda a: jnp.take(a, idx_plan, axis=0), train_flats)
                 batches["sample_mask"] = mask_plan
+                if text_plan is not None and "train" in text_plan:
+                    ids, types, amask = text_plan["train"]
+                    batches["bert_sentences"] = ids
+                    batches["bert_sentence_types"] = types
+                    batches["bert_sentence_att_mask"] = amask
+                if batch_sharding is not None:
+                    batches = jax.tree_util.tree_map(
+                        lambda a: jax.lax.with_sharding_constraint(
+                            a, batch_sharding), batches)
 
                 # stage 1 (group epochs always have a filled bank)
                 if stage1_mode == "cached":
@@ -707,11 +759,26 @@ class StepFactory:
                                 use_mi=True))
                 bank = new_bank
 
-                v_losses, v_mis, v_outs, _ = eval_epoch(
-                    p_main, p_bert, p_vmi, valid_batches, valid_labels,
+                def eval_with_text(split, ebatches):
+                    if text_plan is not None and split in text_plan:
+                        ids, types, amask = text_plan[split]
+                        ebatches = dict(
+                            ebatches, bert_sentences=ids,
+                            bert_sentence_types=types,
+                            bert_sentence_att_mask=amask)
+                        if batch_sharding is not None:
+                            ebatches = jax.tree_util.tree_map(
+                                lambda a: jax.lax.with_sharding_constraint(
+                                    a, batch_sharding), ebatches)
+                    return ebatches
+
+                v_batches = eval_with_text("valid", valid_batches)
+                t_batches = eval_with_text("test", test_batches)
+                v_losses, v_mis, v_outs, v_feats = eval_epoch(
+                    p_main, p_bert, p_vmi, v_batches, valid_labels,
                     bank, ks[2], use_mi=True)
-                t_losses, t_mis, t_outs, _ = eval_epoch(
-                    p_main, p_bert, p_vmi, test_batches, test_labels,
+                t_losses, t_mis, t_outs, t_feats = eval_epoch(
+                    p_main, p_bert, p_vmi, t_batches, test_labels,
                     bank, ks[3], use_mi=True)
 
                 val_metric = _sel_metric(sel, v_outs, valid_labels,
@@ -722,6 +789,9 @@ class StepFactory:
                         "oms": oms, "ovs": ovs, "bank": bank,
                         "epoch": epoch_id,
                         "metric": jnp.float32(0)}
+                if save_feats:
+                    snap["feats_v"] = v_feats
+                    snap["feats_t"] = t_feats
                 v_better = _sel_better(sel, val_metric, bv["metric"])
                 bv = _select_tree(
                     v_better, dict(snap, metric=val_metric), bv)
@@ -729,23 +799,82 @@ class StepFactory:
                 bt = _select_tree(
                     t_better, dict(snap, metric=test_metric), bt)
 
+                if plateau_cfg is not None:
+                    # ReduceLROnPlateau on this epoch's valid loss,
+                    # mirroring train/optim.LRScheduler.step exactly
+                    # (ref: torch ReduceLROnPlateau / Solver.py:163-170)
+                    rate, patience, mode = plateau_cfg
+                    val_loss = jnp.sum(v_losses) / v_losses.shape[0]
+                    better = (val_loss < pstate["best"] if mode == "min"
+                              else val_loss > pstate["best"])
+                    best = jnp.where(better, val_loss, pstate["best"])
+                    bad = jnp.where(better, 0, pstate["bad"] + 1)
+                    decay = bad > patience
+                    factor = jnp.where(decay,
+                                       pstate["factor"] * rate,
+                                       pstate["factor"])
+                    bad = jnp.where(decay, 0, bad)
+                    pstate = {"factor": factor, "best": best, "bad": bad}
+                    # report the POST-update LR — the per-epoch plateau
+                    # path logs/stamps the factor after its
+                    # end-of-epoch step (solver._finalize_epoch)
+                    lr_m = base_lr_m * factor
+
                 ys = (loss_mi, losses, mis, outs,
                       v_losses, v_mis, v_outs, val_metric, v_better,
-                      t_losses, t_mis, t_outs, test_metric, t_better)
-                return (p_main, p_bert, p_vmi, oms, ovs, bank, bv, bt), ys
+                      t_losses, t_mis, t_outs, test_metric, t_better,
+                      lr_m)
+                return (p_main, p_bert, p_vmi, oms, ovs, bank, bv, bt,
+                        pstate), ys
+
+            if save_feats and "feats_v" not in best_v:
+                # seed snapshots arrive without feature slots (the host
+                # cannot know their dtype); normalize the carry pytree
+                # with zero feats of the exact eval shapes before the
+                # scan (eval_shape: no compute)
+                def probe(batches, split):
+                    if text_plans is not None and split in text_plans:
+                        ids, types, amask = (t[0] for t in
+                                             text_plans[split])
+                        batches = dict(
+                            batches, bert_sentences=ids,
+                            bert_sentence_types=types,
+                            bert_sentence_att_mask=amask)
+                    return batches
+
+                def feat_zeros(batches, labels, k):
+                    shapes = jax.eval_shape(
+                        lambda pm, pb, pv, b, l, bk, kk: eval_epoch(
+                            pm, pb, pv, b, l, bk, kk, use_mi=True),
+                        params_main, params_bert, params_vmi, batches,
+                        labels, bank, k)[3]
+                    return jax.tree_util.tree_map(
+                        lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+
+                fv = feat_zeros(probe(valid_batches, "valid"),
+                                valid_labels, rngs[0][2])
+                ft = feat_zeros(probe(test_batches, "test"),
+                                test_labels, rngs[0][3])
+                best_v = dict(best_v, feats_v=fv, feats_t=ft)
+                best_t = dict(best_t,
+                              feats_v=jax.tree_util.tree_map(
+                                  jnp.copy, fv),
+                              feats_t=jax.tree_util.tree_map(
+                                  jnp.copy, ft))
 
             carry = (params_main, params_bert, params_vmi, oms, ovs, bank,
-                     best_v, best_t)
+                     best_v, best_t, plateau_state)
             carry, ys = jax.lax.scan(
                 body, carry,
                 (idx_plans, mask_plans, labels_plans, rngs, lrs_main,
-                 lrs_vmi, epoch_ids))
+                 lrs_vmi, epoch_ids, text_plans))
             return carry, ys
 
         self.epoch_group = jax.jit(
             epoch_group,
             static_argnames=("n_passes", "stage1_mode", "sel", "n_bank",
-                             "n_valid"),
+                             "n_valid", "plateau_cfg", "save_feats",
+                             "batch_sharding"),
             donate_argnums=(0, 1, 2, 3, 4, 5, 6, 7))
 
         self.critic_step = jax.jit(critic_step, donate_argnums=(2, 3))

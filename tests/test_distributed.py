@@ -95,6 +95,44 @@ def test_mesh_step_equals_single_device_step():
     assert delta <= 1e-5
 
 
+def test_mesh_step_adam_f64_and_dropout_certificates():
+    """Round-5 production-semantics mirrors of the dryrun certificates:
+    (a) the shipping Adam chain on the composed dp x pp x tp mesh in f64
+    collapses to ~1e-9 deltas (proving the f32 Adam discrepancy is
+    epsilon-amplified reduction noise, not a sharding bug); (b) with
+    dropout ON over a pure dp mesh — the reference DataParallel's exact
+    semantics (Solver.py:33-36) — sharded still equals single-device
+    (GSPMD mask generation is key-deterministic)."""
+    import jax
+    import numpy as np
+
+    import __graft_entry__ as ge
+    from mimrl_tpu.parallel.mesh import make_mesh
+
+    bs, time_len, d_a, d_v, d_common = 8, 8, 6, 4, 16
+    cfg, model = ge._build(bs, time_len, d_a, d_v, d_common=d_common,
+                           bert_layers=4, bert_hidden=64, bert_heads=2,
+                           cube_l=4)
+    inputs = ge._inputs(bs, time_len, d_a, d_v)
+    labels = jax.numpy.asarray(
+        np.random.default_rng(1).normal(size=(bs,)).astype(np.float32))
+
+    mesh = make_mesh(2, 2, 2)
+    cfg_c = cfg.replace(mesh_data=2, mesh_model=2, mesh_pipe=2,
+                        pipe_microbatches=2)
+    adam_delta = ge._mesh_equality_check(
+        model, cfg_c, mesh, inputs, labels, 4 * bs, d_common, 2,
+        optm="Adam", f64=True, tol=1e-6)
+    assert adam_delta <= 1e-6
+
+    dp_mesh = make_mesh(4, 1, 1)
+    cfg_dp = cfg.replace(mesh_data=4, mesh_model=1, mesh_pipe=1)
+    drop_delta = ge._mesh_equality_check(
+        model, cfg_dp, dp_mesh, inputs, labels, 4 * bs, d_common, 4,
+        keep_dropout=True)
+    assert drop_delta <= 1e-5
+
+
 @pytest.mark.slow
 def test_sharded_critic_scores_are_global():
     """The [bs, bs] critic matmul must see the global batch when the

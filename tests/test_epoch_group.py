@@ -99,6 +99,130 @@ def jax_leaves(tree):
     return jax.tree_util.tree_leaves(tree)
 
 
+def test_epoch_group_plateau_matches_per_epoch(dec_root,
+                                               tmp_path_factory):
+    """Round-5: the plateau LR schedule runs IN-SCAN (factor carried in
+    the group carry, updated from each epoch's valid loss — ref
+    Solver.py:52-57) instead of forcing the per-epoch fallback. G=2 must
+    reproduce the per-epoch plateau run: same Lr series, same losses."""
+    kw = dict(lr_decrease="plateau", lr_decrease_iter="1",
+              lr_decrease_rate=0.5, epochs_num=6)
+    d1 = str(tmp_path_factory.mktemp("runs_p1"))
+    s1 = Solver(cfg_for(dec_root, d1, task_name="p1", epoch_group=1, **kw))
+    best1 = s1.solve()
+    d2 = str(tmp_path_factory.mktemp("runs_p2"))
+    s2 = Solver(cfg_for(dec_root, d2, task_name="p2", epoch_group=2, **kw))
+    assert s2._group_supported()
+    best2 = s2.solve()
+
+    for tag in ("Train/Loss", "Val/Loss", "Val/mae", "Lr"):
+        a = np.asarray(_series(d1, "p1", tag))
+        b = np.asarray(_series(d2, "p2", tag))
+        assert a.shape == b.shape, tag
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=5e-3,
+                                   err_msg=tag)
+    # the schedule must actually have decayed at least once in 6 epochs
+    # with patience 1, otherwise this cell proves nothing
+    lr = _series(d2, "p2", "Lr")
+    assert min(lr) < max(lr)
+    # host schedule state synced back from the device at run end
+    assert abs(s2.lr_schedule.factor - s1.lr_schedule.factor) < 1e-6
+    assert abs(best1[0]["mae"] - best2[0]["mae"]) < 5e-3
+
+
+def test_epoch_group_mesh_data_matches_per_epoch_mesh(dec_root,
+                                                      tmp_path_factory):
+    """Round-5: grouped dispatch on a data-parallel mesh (batch pinned
+    over the `data` axis in-graph) must reproduce the per-epoch scan
+    path ON THE SAME MESH — identical sharding, RNG and plan streams,
+    so only the grouped-program fusion differs. (Sharded-vs-UNsharded
+    trajectory equality is NOT the claim here: per-step reduction-order
+    deltas compound through Adam over epochs; the one-step sharded ==
+    single-device certificate lives in test_distributed.py /
+    dryrun_multichip.)"""
+    d1 = str(tmp_path_factory.mktemp("runs_m1"))
+    s1 = Solver(cfg_for(dec_root, d1, task_name="m1", epoch_group=1,
+                        mesh_data=2))
+    assert s1.mesh is not None, "mesh_data=2 needs the 8-device conftest"
+    best1 = s1.solve()
+    d2 = str(tmp_path_factory.mktemp("runs_m2"))
+    s2 = Solver(cfg_for(dec_root, d2, task_name="m2", epoch_group=2,
+                        mesh_data=2))
+    assert s2.mesh is not None
+    assert s2._group_supported()
+    best2 = s2.solve()
+
+    for tag in ("Train/Loss", "Val/Loss", "Val/mae", "Test/mae"):
+        a = np.asarray(_series(d1, "m1", tag))
+        b = np.asarray(_series(d2, "m2", tag))
+        assert a.shape == b.shape, tag
+        np.testing.assert_allclose(a, b, rtol=0, atol=5e-3, err_msg=tag)
+    assert abs(best1[0]["mae"] - best2[0]["mae"]) < 5e-3
+
+
+def test_epoch_group_avec_matches_per_epoch(tmp_path_factory):
+    """Round-5: AVEC's per-epoch random-word text (ref
+    Customization.py:66-76) is pre-drawn into token plans with the
+    loaders' own RNG streams, so grouped == per-epoch on AVEC too —
+    including the CCC-based in-graph selection (ref Solver.py:431-434)."""
+    from mimrl_tpu.data.synthetic import make_avec_fixture
+
+    root = tmp_path_factory.mktemp("avec_g")
+    make_avec_fixture(str(root), n_per_split=(16, 8, 8), d_mfcc=39,
+                      d_au=49, seed=5)
+    kw = dict(dataset="avec2019", data_dir=str(root), text="text",
+              audio="mfcc", video="au", loss="CCC", epochs_num=5)
+    d1 = str(tmp_path_factory.mktemp("runs_a1"))
+    s1 = Solver(cfg_for(str(root), d1, task_name="a1", epoch_group=1,
+                        **kw))
+    best1 = s1.solve()
+    d2 = str(tmp_path_factory.mktemp("runs_a2"))
+    s2 = Solver(cfg_for(str(root), d2, task_name="a2", epoch_group=2,
+                        **kw))
+    assert s2._group_supported()
+    best2 = s2.solve()
+
+    for tag in ("Train/Loss", "Val/Loss", "Val/ccc", "Test/ccc"):
+        a = np.asarray(_series(d1, "a1", tag))
+        b = np.asarray(_series(d2, "a2", tag))
+        assert a.shape == b.shape, tag
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=5e-3,
+                                   err_msg=tag)
+    assert abs(best1[0]["ccc"] - best2[0]["ccc"]) < 5e-3
+
+
+@pytest.mark.slow
+def test_epoch_group_save_best_features(dec_root, tmp_path_factory):
+    """Round-5: --save_best_features streams the winning epochs' eval
+    features from the device snapshots at group end; the pickles must
+    match the per-epoch path's (ref Solver.py:514-531 artifacts)."""
+    import pickle
+
+    kw = dict(save_best_features=True, epochs_num=4)
+    d1 = str(tmp_path_factory.mktemp("runs_f1"))
+    Solver(cfg_for(dec_root, d1, task_name="f1", epoch_group=1,
+                   **kw)).solve()
+    d2 = str(tmp_path_factory.mktemp("runs_f2"))
+    s2 = Solver(cfg_for(dec_root, d2, task_name="f2", epoch_group=2,
+                        **kw))
+    assert s2._group_supported()
+    s2.solve()
+
+    for name in ("features_val", "features_test",
+                 "features_test_for_valid"):
+        with open(os.path.join(d1, "f1", f"{name}.pkl"), "rb") as f:
+            a = pickle.load(f)
+        with open(os.path.join(d2, "f2", f"{name}.pkl"), "rb") as f:
+            b = pickle.load(f)
+        assert len(a) == len(b), name
+        for ba, bb in zip(a, b):
+            for fa, fb in zip(ba, bb):
+                np.testing.assert_allclose(
+                    np.asarray(fa, np.float32),
+                    np.asarray(fb, np.float32),
+                    rtol=1e-3, atol=5e-3, err_msg=name)
+
+
 def test_epoch_group_stage1_cached(dec_root, tmp_path_factory):
     """Grouped dispatch composes with --stage1_cached (the headline
     bench rung) and still learns: the final-epoch train MAE must improve
