@@ -170,8 +170,13 @@ class MimrlConfig:
     # Adam first-moment / SGD momentum accumulator dtype. bfloat16 cuts
     # the optimizer's HBM traffic (the update step is bandwidth-bound:
     # it streams params + grads + moments); second moments stay float32
-    # (they need the precision near convergence).
-    moment_dtype: str = "float32"
+    # (they need the precision near convergence). Default bfloat16 since
+    # round 5: +2.6% on the bench window, convergence-verified across
+    # 3 seeds at MOSI scale — every seed inside the exact schedule's
+    # seed envelope, mean delta +0.5 sigma of exact's own seed spread
+    # (docs/SEED_STUDY.json mosi/cached_mom). --moment_dtype float32
+    # restores bit-level optax parity with the reference chain.
+    moment_dtype: str = "bfloat16"
     profile_dir: Optional[str] = None  # jax.profiler trace output dir
     # perf mode: compute stage-1 features once per batch and reuse them
     # across the stage1_n critic passes (the model is frozen in stage 1,

@@ -443,6 +443,9 @@ def compare_step_trajectory(ref, opt, ref_model, model, params, inputs,
 
         # ---- our side: production optimizer chain ----
         cfg = MimrlConfig(
+        # pin reference-equivalent numerics: the solver DEFAULTS may
+        # adopt perf dtypes (bf16 Adam moments); the torch side is f32
+        moment_dtype="float32", bank_dtype="float32",
             dataset="mosi_Dec", batch_size=BS, time_len=TIME_LEN,
             d_common=D_COMMON, task=c["task"], num_class=c["num_class"],
             d_hiddens=[[12, 3, 128], [4, 3, 128]], d_outs=[[12, 3, 128], [4, 3, 128]],
@@ -591,6 +594,9 @@ def compare_two_stage_trajectory(ref, opt, ref_model, model, params,
 
     # ---- our side: production optimizer chains, jitted two-stage ----
     cfg = MimrlConfig(
+        # pin reference-equivalent numerics: the solver DEFAULTS may
+        # adopt perf dtypes (bf16 Adam moments); the torch side is f32
+        moment_dtype="float32", bank_dtype="float32",
         dataset="mosi_Dec", batch_size=BS, time_len=TIME_LEN,
         d_common=D_COMMON,
         d_hiddens=[[12, 3, 128], [4, 3, 128]],
@@ -779,6 +785,9 @@ def compare_solver_end_to_end(ref, epochs=4, n_train=64,
     from mimrl_tpu.utils.torch_import import reference_state_dict_to_params
 
     cfg = MimrlConfig(
+        # pin reference-equivalent numerics: the solver DEFAULTS may
+        # adopt perf dtypes (bf16 Adam moments); the torch side is f32
+        moment_dtype="float32", bank_dtype="float32",
         task_name="ourcmp", task_dir=tempfile.mkdtemp(prefix="refcmp_our_"),
         dataset="mosi_Dec", data_dir=data_dir, batch_size=BS,
         time_len=TIME_LEN, d_common=D_COMMON, encoders="gru",
@@ -987,6 +996,9 @@ def compare_solver_sdk(ref, epochs=4, n_train=64):
     from mimrl_tpu.utils.torch_import import reference_state_dict_to_params
 
     cfg = MimrlConfig(
+        # pin reference-equivalent numerics: the solver DEFAULTS may
+        # adopt perf dtypes (bf16 Adam moments); the torch side is f32
+        moment_dtype="float32", bank_dtype="float32",
         task_name="ourcmp_sdk",
         task_dir=tempfile.mkdtemp(prefix="refcmp_sdk_our_"),
         dataset="mosi_SDK", data_dir=sdk_dir, batch_size=BS,

@@ -153,6 +153,10 @@ def main():
                     choices=sorted(SCHEDULES),
                     help="variants to run; 'exact' is always the "
                          "envelope anchor")
+    ap.add_argument("--mosei_schedules", nargs="+", default=None,
+                    choices=sorted(SCHEDULES),
+                    help="variants for the MOSEI leg (default: same "
+                         "as --schedules)")
     ap.add_argument("--runs_dir", default="docs/seed_runs")
     ap.add_argument("--out", default="docs/SEED_STUDY.json")
     args = ap.parse_args()
@@ -166,7 +170,10 @@ def main():
                            args.epochs, args.data_seed)
             reports.append((("mosi", schedule, seed), path))
     if args.mosei:
-        for schedule in schedules:
+        mosei_schedules = (schedules if args.mosei_schedules is None
+                           else list(dict.fromkeys(
+                               ["exact"] + args.mosei_schedules)))
+        for schedule in mosei_schedules:
             for seed in args.mosei_seeds:
                 path = run_one(args.runs_dir, "mosei", schedule, seed,
                                args.epochs, args.data_seed)
