@@ -35,6 +35,7 @@ convergence suite covers the training path.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -46,6 +47,34 @@ Array = jax.Array
 
 def _interpret() -> bool:
     return jax.default_backend() != "tpu"
+
+
+def _variant() -> str:
+    """Kernel strategy (resolved at trace time; see tools/fa_tune.py):
+
+    - ``row``     one program per batch row, Python loop over heads
+                  (12 sequential [T, hd] x [hd, T] dots per program)
+    - ``batched`` one program per R batch rows (``MIMRL_FA_ROWS``),
+                  ONE dot_general with (R, nh) batch dims — gives
+                  Mosaic a single large batched contraction to
+                  pipeline instead of 12 serial small ones
+    - ``bh``      grid (bs, nh): one program per (row, head) — max
+                  grid parallelism, smallest VMEM footprint
+
+    All variants compute identical math; the dropout BIT STREAMS
+    differ between variants (each is self-consistent fwd/bwd).
+    """
+    v = os.environ.get("MIMRL_FA_VARIANT", "row")
+    if v not in ("row", "batched", "bh"):
+        raise ValueError(f"MIMRL_FA_VARIANT={v!r} (want row|batched|bh)")
+    return v
+
+
+def _rows_per_program(bs: int) -> int:
+    r = int(os.environ.get("MIMRL_FA_ROWS", "1"))
+    while r > 1 and bs % r:
+        r //= 2
+    return max(r, 1)
 
 
 def _hash_bits(seed: Array, tag: int, shape) -> Array:
@@ -68,6 +97,29 @@ def _dropout_bits(seed_scalar, h: int, shape, hw: bool) -> Array:
     if hw:
         return pltpu.prng_random_bits(shape)
     return _hash_bits(seed_scalar, h + 1, shape)
+
+
+def _hash_bits_nd(seed: Array, shape) -> Array:
+    """Interpret-mode bits for >2-D shapes: mix EVERY axis position into
+    the hash (the 2-D helper only mixes the trailing two, which would
+    repeat the mask across leading batch/head dims)."""
+    mults = (0x9E3779B1, 0x85EBCA77, 0xC2B2AE35, 0x27D4EB2F,
+             0x165667B1, 0xD3A2646C)
+    x = jnp.broadcast_to(seed.astype(jnp.uint32), shape)
+    for d in range(len(shape)):
+        i = jax.lax.broadcasted_iota(jnp.uint32, shape, d)
+        x = x ^ (i + jnp.uint32(1)) * jnp.uint32(mults[d % len(mults)])
+    x = x ^ (x >> 16)
+    x = x * jnp.uint32(0x7FEB352D)
+    x = x ^ (x >> 15)
+    x = x * jnp.uint32(0x846CA68B)
+    return x ^ (x >> 16)
+
+
+def _dropout_bits_nd(seed_scalar, shape, hw: bool) -> Array:
+    if hw:
+        return pltpu.prng_random_bits(shape)
+    return _hash_bits_nd(seed_scalar, shape)
 
 
 # --------------------------------------------------------------------------
@@ -106,11 +158,110 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, out_ref, *,
         out_ref[0, h] = o.astype(out_ref.dtype)
 
 
+def _fwd_kernel_batched(seed_ref, q_ref, k_ref, v_ref, bias_ref, out_ref, *,
+                        dropout_p: float, scale: float, hw_prng: bool):
+    """One program = R batch rows, ALL heads as dot_general batch dims:
+    q/k/v [R, nh, T, hd]; bias [R, 1, 1, T]."""
+    g = pl.program_id(0)
+    R, nh, T, _ = q_ref.shape
+    seed = seed_ref[0] + g
+    if dropout_p > 0.0 and hw_prng:
+        pltpu.prng_seed(seed)
+    q, k, v = q_ref[...], k_ref[...], v_ref[...]
+    s = jax.lax.dot_general(
+        q, k, (((3,), (3,)), ((0, 1), (0, 1))),
+        preferred_element_type=jnp.float32)  # [R, nh, T, T]
+    s = s * scale + bias_ref[:, :, :, :]     # bias [R,1,1,T] broadcasts
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    p = e / jnp.sum(e, axis=-1, keepdims=True)
+    if dropout_p > 0.0:
+        bits = _dropout_bits_nd(seed, (R, nh, T, T), hw_prng)
+        keep = bits > jnp.uint32(dropout_p * 4294967296.0)
+        p = jnp.where(keep, p * (1.0 / (1.0 - dropout_p)), 0.0)
+    o = jax.lax.dot_general(
+        p.astype(q.dtype), v, (((3,), (2,)), ((0, 1), (0, 1))),
+        preferred_element_type=jnp.float32)  # [R, nh, T, hd]
+    out_ref[...] = o.astype(out_ref.dtype)
+
+
+def _fwd_kernel_bh(seed_ref, q_ref, k_ref, v_ref, bias_ref, out_ref, *,
+                   dropout_p: float, scale: float, hw_prng: bool, nh: int):
+    """One program = one (batch row, head): q/k/v [1, 1, T, hd]."""
+    b, h = pl.program_id(0), pl.program_id(1)
+    T = q_ref.shape[2]
+    seed = seed_ref[0] + b * nh + h
+    if dropout_p > 0.0 and hw_prng:
+        pltpu.prng_seed(seed)
+    q, k, v = q_ref[0, 0], k_ref[0, 0], v_ref[0, 0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    s = s * scale + bias_ref[0, 0]
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    p = e / jnp.sum(e, axis=-1, keepdims=True)
+    if dropout_p > 0.0:
+        bits = _dropout_bits_nd(seed, (T, T), hw_prng)
+        keep = bits > jnp.uint32(dropout_p * 4294967296.0)
+        p = jnp.where(keep, p * (1.0 / (1.0 - dropout_p)), 0.0)
+    o = jax.lax.dot_general(
+        p.astype(q.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    out_ref[0, 0] = o.astype(out_ref.dtype)
+
+
 def _fwd_call(q, k, v, bias, seed, dropout_p: float):
     bs, nh, T, hd = q.shape
     scale = 1.0 / (hd ** 0.5)
+    variant = _variant()
+    hw = not _interpret()
+
+    if variant == "batched":
+        R = _rows_per_program(bs)
+        kern = functools.partial(_fwd_kernel_batched, dropout_p=dropout_p,
+                                 scale=scale, hw_prng=hw)
+        qkv_spec = pl.BlockSpec((R, nh, T, hd), lambda g, _s: (g, 0, 0, 0),
+                                memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            kern,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(bs // R,),
+                in_specs=[
+                    qkv_spec, qkv_spec, qkv_spec,
+                    pl.BlockSpec((R, 1, 1, T), lambda g, _s: (g, 0, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=qkv_spec,
+            ),
+            out_shape=jax.ShapeDtypeStruct((bs, nh, T, hd), q.dtype),
+            interpret=_interpret(),
+        )(seed, q, k, v, bias)
+
+    if variant == "bh":
+        kern = functools.partial(_fwd_kernel_bh, dropout_p=dropout_p,
+                                 scale=scale, hw_prng=hw, nh=nh)
+        qkv_spec = pl.BlockSpec((1, 1, T, hd), lambda b, h, _s: (b, h, 0, 0),
+                                memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            kern,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(bs, nh),
+                in_specs=[
+                    qkv_spec, qkv_spec, qkv_spec,
+                    pl.BlockSpec((1, 1, 1, T), lambda b, h, _s: (b, 0, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=qkv_spec,
+            ),
+            out_shape=jax.ShapeDtypeStruct((bs, nh, T, hd), q.dtype),
+            interpret=_interpret(),
+        )(seed, q, k, v, bias)
+
     kern = functools.partial(_fwd_kernel, dropout_p=dropout_p, scale=scale,
-                             hw_prng=not _interpret())
+                             hw_prng=hw)
     grid = (bs,)
     qkv_spec = pl.BlockSpec((1, nh, T, hd), lambda b, _s: (b, 0, 0, 0),
                             memory_space=pltpu.VMEM)
@@ -193,14 +344,157 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, do_ref,
         dv_ref[0, h] = dv.astype(dv_ref.dtype)
 
 
+def _bwd_kernel_batched(seed_ref, q_ref, k_ref, v_ref, bias_ref, do_ref,
+                        dq_ref, dk_ref, dv_ref, *, dropout_p: float,
+                        scale: float, hw_prng: bool):
+    g = pl.program_id(0)
+    R, nh, T, _ = q_ref.shape
+    seed = seed_ref[0] + g
+    if dropout_p > 0.0 and hw_prng:
+        pltpu.prng_seed(seed)
+    q, k, v = q_ref[...], k_ref[...], v_ref[...]
+    do = do_ref[...].astype(jnp.float32)
+    s = jax.lax.dot_general(
+        q, k, (((3,), (3,)), ((0, 1), (0, 1))),
+        preferred_element_type=jnp.float32)
+    s = s * scale + bias_ref[:, :, :, :]
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    p = e / jnp.sum(e, axis=-1, keepdims=True)  # [R, nh, T, T] f32
+    if dropout_p > 0.0:
+        bits = _dropout_bits_nd(seed, (R, nh, T, T), hw_prng)
+        keep = bits > jnp.uint32(dropout_p * 4294967296.0)
+        inv = 1.0 / (1.0 - dropout_p)
+        pd = jnp.where(keep, p * inv, 0.0)
+    else:
+        pd = p
+    # dV = Pd^T @ dO over query rows (batch dims R, nh)
+    dv = jax.lax.dot_general(
+        pd.astype(q.dtype), do.astype(q.dtype),
+        (((2,), (2,)), ((0, 1), (0, 1))),
+        preferred_element_type=jnp.float32)
+    # dPd = dO @ V^T
+    dpd = jax.lax.dot_general(
+        do.astype(q.dtype), v, (((3,), (3,)), ((0, 1), (0, 1))),
+        preferred_element_type=jnp.float32)
+    if dropout_p > 0.0:
+        dp = jnp.where(keep, dpd * inv, 0.0)
+    else:
+        dp = dpd
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    ds = (ds * scale).astype(q.dtype)
+    dq = jax.lax.dot_general(
+        ds, k, (((3,), (2,)), ((0, 1), (0, 1))),
+        preferred_element_type=jnp.float32)
+    dk = jax.lax.dot_general(
+        ds, q, (((2,), (2,)), ((0, 1), (0, 1))),
+        preferred_element_type=jnp.float32)
+    dq_ref[...] = dq.astype(dq_ref.dtype)
+    dk_ref[...] = dk.astype(dk_ref.dtype)
+    dv_ref[...] = dv.astype(dv_ref.dtype)
+
+
+def _bwd_kernel_bh(seed_ref, q_ref, k_ref, v_ref, bias_ref, do_ref,
+                   dq_ref, dk_ref, dv_ref, *, dropout_p: float,
+                   scale: float, hw_prng: bool, nh: int):
+    b, h = pl.program_id(0), pl.program_id(1)
+    T = q_ref.shape[2]
+    seed = seed_ref[0] + b * nh + h
+    if dropout_p > 0.0 and hw_prng:
+        pltpu.prng_seed(seed)
+    q, k, v = q_ref[0, 0], k_ref[0, 0], v_ref[0, 0]
+    do = do_ref[0, 0].astype(jnp.float32)
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    s = s * scale + bias_ref[0, 0]
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    p = e / jnp.sum(e, axis=-1, keepdims=True)
+    if dropout_p > 0.0:
+        bits = _dropout_bits_nd(seed, (T, T), hw_prng)
+        keep = bits > jnp.uint32(dropout_p * 4294967296.0)
+        inv = 1.0 / (1.0 - dropout_p)
+        pd = jnp.where(keep, p * inv, 0.0)
+    else:
+        pd = p
+    dv = jax.lax.dot_general(
+        pd.astype(q.dtype), do.astype(q.dtype), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dpd = jax.lax.dot_general(
+        do.astype(q.dtype), v, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    if dropout_p > 0.0:
+        dp = jnp.where(keep, dpd * inv, 0.0)
+    else:
+        dp = dpd
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    ds = (ds * scale).astype(q.dtype)
+    dq_ref[0, 0] = jax.lax.dot_general(
+        ds, k, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(dq_ref.dtype)
+    dk_ref[0, 0] = jax.lax.dot_general(
+        ds, q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(dk_ref.dtype)
+    dv_ref[0, 0] = dv.astype(dv_ref.dtype)
+
+
 def _bwd_call(q, k, v, bias, seed, do, dropout_p: float):
     bs, nh, T, hd = q.shape
     scale = 1.0 / (hd ** 0.5)
+    variant = _variant()
+    hw = not _interpret()
+    shp = jax.ShapeDtypeStruct((bs, nh, T, hd), q.dtype)
+
+    if variant == "batched":
+        R = _rows_per_program(bs)
+        kern = functools.partial(_bwd_kernel_batched, dropout_p=dropout_p,
+                                 scale=scale, hw_prng=hw)
+        qkv_spec = pl.BlockSpec((R, nh, T, hd), lambda g, _s: (g, 0, 0, 0),
+                                memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            kern,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(bs // R,),
+                in_specs=[
+                    qkv_spec, qkv_spec, qkv_spec,
+                    pl.BlockSpec((R, 1, 1, T), lambda g, _s: (g, 0, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    qkv_spec,
+                ],
+                out_specs=(qkv_spec, qkv_spec, qkv_spec),
+            ),
+            out_shape=(shp, shp, shp),
+            interpret=_interpret(),
+        )(seed, q, k, v, bias, do)
+
+    if variant == "bh":
+        kern = functools.partial(_bwd_kernel_bh, dropout_p=dropout_p,
+                                 scale=scale, hw_prng=hw, nh=nh)
+        qkv_spec = pl.BlockSpec((1, 1, T, hd), lambda b, h, _s: (b, h, 0, 0),
+                                memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            kern,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(bs, nh),
+                in_specs=[
+                    qkv_spec, qkv_spec, qkv_spec,
+                    pl.BlockSpec((1, 1, 1, T), lambda b, h, _s: (b, 0, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    qkv_spec,
+                ],
+                out_specs=(qkv_spec, qkv_spec, qkv_spec),
+            ),
+            out_shape=(shp, shp, shp),
+            interpret=_interpret(),
+        )(seed, q, k, v, bias, do)
+
     kern = functools.partial(_bwd_kernel, dropout_p=dropout_p, scale=scale,
-                             hw_prng=not _interpret())
+                             hw_prng=hw)
     qkv_spec = pl.BlockSpec((1, nh, T, hd), lambda b, _s: (b, 0, 0, 0),
                             memory_space=pltpu.VMEM)
-    shp = jax.ShapeDtypeStruct((bs, nh, T, hd), q.dtype)
     return pl.pallas_call(
         kern,
         grid_spec=pltpu.PrefetchScalarGridSpec(

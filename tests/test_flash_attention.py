@@ -41,8 +41,22 @@ def _xla_ref(q, k, v, bias):
 
 SEED = jnp.array([11], jnp.int32)
 
+# kernel strategy variants (round 5, ops/pallas/flash_attention.py):
+# each must reproduce the XLA math; dropout streams are per-variant
+VARIANTS = [("row", {}), ("batched", {"MIMRL_FA_ROWS": "3"}),
+            ("batched", {"MIMRL_FA_ROWS": "1"}), ("bh", {})]
 
-def test_deterministic_matches_xla():
+
+@pytest.fixture(params=VARIANTS, ids=lambda v: f"{v[0]}-{v[1]}")
+def fa_variant(request, monkeypatch):
+    name, extra = request.param
+    monkeypatch.setenv("MIMRL_FA_VARIANT", name)
+    for k, v in extra.items():
+        monkeypatch.setenv(k, v)
+    return name
+
+
+def test_deterministic_matches_xla(fa_variant):
     q, k, v, bias = _inputs()
     out = flash_attention(q, k, v, bias, SEED, 0.0)
     ref = _xla_ref(q, k, v, bias)
@@ -50,7 +64,7 @@ def test_deterministic_matches_xla():
                                rtol=1e-5, atol=1e-5)
 
 
-def test_deterministic_grads_match_xla():
+def test_deterministic_grads_match_xla(fa_variant):
     q, k, v, bias = _inputs()
 
     def loss_fa(q, k, v):
@@ -66,7 +80,7 @@ def test_deterministic_grads_match_xla():
                                    rtol=1e-4, atol=1e-4)
 
 
-def test_dropout_keep_rate_and_repro():
+def test_dropout_keep_rate_and_repro(fa_variant):
     q, k, v, bias = _inputs(t=32, hd=16)
     p = 0.5
     o1 = flash_attention(q, k, v, bias, SEED, p)
@@ -90,7 +104,7 @@ def test_dropout_keep_rate_and_repro():
     assert 0.8 < float(jnp.mean(sums)) < 1.2
 
 
-def test_dropout_backward_uses_same_mask():
+def test_dropout_backward_uses_same_mask(fa_variant):
     """d/dv sum(Pd @ v) == column sums of Pd — only if the backward
     regenerates exactly the forward's mask."""
     t = 16

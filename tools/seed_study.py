@@ -36,8 +36,14 @@ import time
 # anchor (the reference-exact --epoch_scan schedule); every other
 # variant is judged against exact's seed envelope.
 SCHEDULES = {
-    "exact": [],
-    "cached": ["--stage1_cached"],
+    # the anchor schedules pin f32 moments/banks explicitly: they are
+    # the SEMANTIC baseline pair and must stay numerically identical
+    # across rounds even as the solver's perf defaults move (round 5
+    # flipped --moment_dtype to bfloat16 after the cached_mom study
+    # legitimized it; the round-4 exact/cached runs predate the flip)
+    "exact": ["--moment_dtype", "float32", "--bank_dtype", "float32"],
+    "cached": ["--stage1_cached", "--moment_dtype", "float32",
+               "--bank_dtype", "float32"],
     # the candidate low-precision default bundle: bf16 optimizer
     # moments + bf16 feature banks on top of the cached headline rung
     "cached_lowp": ["--stage1_cached", "--moment_dtype", "bfloat16",
