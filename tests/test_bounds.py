@@ -168,7 +168,15 @@ def test_gaussian_interpolate_recovery():
     """The interpolated bound is high-variance early in training
     (exp of unclipped scores); estimate from the smoothed tail instead
     of the max (its intended usage per VMI.py:360: 'For MI estimation
-    purpose, use interpolated bound with a low alpha')."""
+    purpose, use interpolated bound with a low alpha').
+
+    Hyperparameters retuned in round 5: the round-3 diagonal-broadcast
+    fix (commit 90f7422, pinned vs the executed reference in
+    tests/test_bounds_ref_parity.py) changed the bound's optimization
+    landscape, and the original (lr=5e-4, 60 epochs) seeded run no
+    longer converges. At lr=5e-3 x 150 epochs the CORRECTED bound
+    recovers the analytic MI to within ~10% across seeds (1.73 / 1.55
+    vs true 1.683)."""
     dim, rho = 5, 0.7
     true_mi = rho_to_mi(dim, rho)
     key = jax.random.PRNGKey(0)
@@ -176,7 +184,7 @@ def test_gaussian_interpolate_recovery():
     x, y = sample_correlated_gaussian(kd, rho=rho, dim=dim, num_samples=2048)
     mi_score, history = compute_mi(
         kt, "separate", "unnormalized", "interpolate", np.asarray(x),
-        np.asarray(y), epochs=60, batch_size=256, lr=5e-4,
+        np.asarray(y), epochs=150, batch_size=256, lr=5e-3,
         alpha_logit=-2.0, estimation="mean", weight_decay=0.98)
     assert mi_score > 0.3 * true_mi, (mi_score, true_mi)
     assert mi_score < 3.0 * true_mi, (mi_score, true_mi)
