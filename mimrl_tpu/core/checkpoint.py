@@ -27,6 +27,8 @@ import json
 import os
 from typing import Any, Optional
 
+import jax
+import numpy as np
 from flax import serialization
 
 
@@ -119,7 +121,23 @@ class CheckpointManager:
             has_orbax = not has_msgpack
         if has_msgpack:
             with open(path, "rb") as f:
-                return serialization.from_bytes(template, f.read())
+                restored = serialization.from_bytes(template, f.read())
+            # from_bytes hands back NUMPY leaves. Bit-identical, but
+            # eager (non-jit) optax math then runs under numpy's type
+            # promotion instead of JAX's weak typing — with bf16
+            # moments (--moment_dtype bfloat16), `decay * mu` promotes
+            # to f64 under numpy vs staying bf16 under JAX, so a
+            # restored state would "continue" at different precision
+            # outside jit. Converting here restores the save-time array
+            # kind; inside jit (every solver step) both were already
+            # identical, and the device upload happens at first use
+            # either way.
+            import jax.numpy as jnp
+
+            return jax.tree_util.tree_map(
+                lambda x: (jnp.asarray(x)
+                           if isinstance(x, (np.ndarray, np.generic))
+                           else x), restored)
         if has_orbax:
             import orbax.checkpoint as ocp
 

@@ -129,6 +129,8 @@ def main():
     ap.add_argument("--dropout", type=float, default=0.1)
     ap.add_argument("--iters", type=int, default=30)
     ap.add_argument("--rows", type=int, nargs="+", default=[1, 2, 4, 8])
+    ap.add_argument("--train_only", action="store_true",
+                    help="only the fwd+bwd dropout-on (training) cells")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -145,8 +147,9 @@ def main():
                "dropout": args.dropout, "cells": {}}
     for mode in ("fwd", "fwdbwd"):
         for p_label, p in (("drop", args.dropout), ("nodrop", 0.0)):
-            if mode == "fwd" and p_label == "nodrop":
-                pass  # eval path: fwd nodrop is the relevant cell
+            if args.train_only and not (mode == "fwdbwd"
+                                        and p_label == "drop"):
+                continue
             for name, env, use_k in variants:
                 cell = f"{name}/{mode}/{p_label}"
                 ms, err = time_variant(name, env, use_k, shapes, p,

@@ -136,6 +136,11 @@ def summarize(reports):
                 "inside_envelope": inside,
                 "pass": all(inside),
                 "mean_delta": round(row["mean"] - ex["mean"], 4),
+                # the envelope verdict is scale-free (a tight exact seed
+                # spread makes tiny absolute deltas "fail"); the relative
+                # delta carries the magnitude for interpretation
+                "mean_delta_pct": round(
+                    100.0 * (row["mean"] - ex["mean"]) / ex["mean"], 2),
                 "mean_delta_vs_exact_spread": (
                     round((row["mean"] - ex["mean"]) / max(sigma, 1e-9),
                           2)),
