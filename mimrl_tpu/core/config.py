@@ -134,9 +134,10 @@ class MimrlConfig:
     # the main single-chip throughput lever past the bf16 roofline.
     quant: str = "none"
     use_pallas: bool = False  # fused Pallas CubeMLP kernel
-    # fused Pallas attention: 'on' | 'off' | 'auto' (= off; validated
-    # opt-in, measured break-even at canonical shapes — see
-    # models/bert.py::BertConfig.flash_attn and docs/PERFORMANCE.md)
+    # fused Pallas attention: 'on' | 'off' | 'auto' (= on for TPU
+    # training, off on CPU/under --seq_shard; +3.2% at T=100, +31.5%
+    # at T=150 — see models/bert.py::BertConfig.flash_attn and
+    # docs/PERFORMANCE.md)
     flash_attn: str = "auto"
     # vmap-batch the 11 MI/CMI estimators (identical math + param names,
     # ~130 tiny GEMMs -> ~12 batched; see models/model.py

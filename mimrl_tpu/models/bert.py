@@ -52,14 +52,12 @@ class BertConfig:
     # 98% of layer FLOPs and run at 2x bf16 rate on the MXU in int8.
     quant: str = "none"
     # fused Pallas attention kernel (ops/pallas/flash_attention.py):
-    # 'on' | 'off' | 'auto' (= off: measured break-even at canonical
-    # shapes — attention is ~2% of BERT FLOPs at time_len=100 and XLA
-    # already hides its HBM traffic behind the GEMMs, while the custom
-    # call acts as a scheduling barrier; see docs/PERFORMANCE.md). Kept
-    # as a validated opt-in for longer-sequence configs where the
-    # [T, T] score/prob/dropout tensors stop fitting the fusion budget.
-    # Never used under meshes or sequence sharding — GSPMD cannot
-    # partition through a pallas_call.
+    # 'on' | 'off' | 'auto' (= ON on TPU since round 5 — measured
+    # +3.2% train-step at T=100 and +31.5% at T=150 with the batched
+    # kernel variant; the earlier "break-even" A/Bs never engaged the
+    # kernel, see _resolve_flash). 'auto' stays off on CPU (interpret
+    # emulation) and under sequence sharding — GSPMD cannot partition
+    # through a pallas_call.
     flash_attn: str = "auto"
     # keep q/k/v in [bs, T, nh, hd] layout and fold the head transposes
     # into the attention dot_generals instead of materializing
@@ -122,12 +120,24 @@ class BertEmbeddings(nn.Module):
 
 
 def _resolve_flash(c: "BertConfig") -> bool:
-    """'auto' resolves to off: in-situ A/B at canonical shapes measured
-    the kernel at break-even-to-slightly-slower (see BertConfig docstring
-    and docs/PERFORMANCE.md). 'on' is honored only when a pallas_call is
-    actually partitionable — i.e. not under sequence sharding (GSPMD
-    cannot shard through a custom call)."""
-    return c.flash_attn == "on" and c.seq_sharding is None
+    """'auto' resolves to ON on TPU since round 5: the round-2/4
+    "break-even" A/Bs compared base against ITSELF (BENCH_FLASH_ATTN=1
+    leaked the raw env string into this config, where only "on"
+    engages — see __graft_entry__). Measured with the kernel actually
+    on (batched variant, tools/fa_tune.py + tools/knob_sweep.py):
+    train_step 89.5->86.7 ms at MOSI T=100 (+3.2%), 178.7->135.9 ms at
+    AVEC T=150 (+31.5%). Resolves to off on CPU (interpret mode is
+    emulation; tests keep XLA semantics) and under sequence sharding
+    (GSPMD cannot shard through a custom call)."""
+    if c.flash_attn not in ("auto", "on", "off"):
+        raise ValueError(
+            f"BertConfig.flash_attn={c.flash_attn!r} (want auto|on|off) — "
+            "an unknown value would silently disable the kernel")
+    if c.flash_attn == "off" or c.seq_sharding is not None:
+        return False
+    if c.flash_attn == "on":
+        return True
+    return jax.default_backend() == "tpu"
 
 
 class BertSelfAttention(nn.Module):

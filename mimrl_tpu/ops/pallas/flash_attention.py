@@ -63,8 +63,13 @@ def _variant() -> str:
 
     All variants compute identical math; the dropout BIT STREAMS
     differ between variants (each is self-consistent fwd/bwd).
+
+    Default 'batched' (R=1): measured fastest at both reference
+    operating points (docs/FA_TUNE_avec.json: fwd+bwd dropout-on
+    2.26 ms vs row 2.90 vs bh 4.14 vs XLA-rbg 4.67 at
+    [128, 12, 150, 64]).
     """
-    v = os.environ.get("MIMRL_FA_VARIANT", "row")
+    v = os.environ.get("MIMRL_FA_VARIANT", "batched")
     if v not in ("row", "batched", "bh"):
         raise ValueError(f"MIMRL_FA_VARIANT={v!r} (want row|batched|bh)")
     return v
@@ -163,26 +168,32 @@ def _fwd_kernel_batched(seed_ref, q_ref, k_ref, v_ref, bias_ref, out_ref, *,
     """One program = R batch rows, ALL heads as dot_general batch dims:
     q/k/v [R, nh, T, hd]; bias [R, 1, 1, T]."""
     g = pl.program_id(0)
-    R, nh, T, _ = q_ref.shape
+    R, nh, T, hd = q_ref.shape
+    B = R * nh  # Mosaic's tpu.matmul supports ONE batch dim — merge
     seed = seed_ref[0] + g
     if dropout_p > 0.0 and hw_prng:
         pltpu.prng_seed(seed)
-    q, k, v = q_ref[...], k_ref[...], v_ref[...]
+    q = q_ref[...].reshape(B, T, hd)
+    k = k_ref[...].reshape(B, T, hd)
+    v = v_ref[...].reshape(B, T, hd)
     s = jax.lax.dot_general(
-        q, k, (((3,), (3,)), ((0, 1), (0, 1))),
-        preferred_element_type=jnp.float32)  # [R, nh, T, T]
-    s = s * scale + bias_ref[:, :, :, :]     # bias [R,1,1,T] broadcasts
+        q, k, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)  # [B, T, T]
+    # bias: one [T] key-bias vector per batch row, repeated per head
+    bias_b = jnp.broadcast_to(
+        bias_ref[:, 0, 0, :][:, None, :], (R, nh, T)).reshape(B, 1, T)
+    s = s * scale + bias_b
     m = jnp.max(s, axis=-1, keepdims=True)
     e = jnp.exp(s - m)
     p = e / jnp.sum(e, axis=-1, keepdims=True)
     if dropout_p > 0.0:
-        bits = _dropout_bits_nd(seed, (R, nh, T, T), hw_prng)
+        bits = _dropout_bits_nd(seed, (B, T, T), hw_prng)
         keep = bits > jnp.uint32(dropout_p * 4294967296.0)
         p = jnp.where(keep, p * (1.0 / (1.0 - dropout_p)), 0.0)
     o = jax.lax.dot_general(
-        p.astype(q.dtype), v, (((3,), (2,)), ((0, 1), (0, 1))),
-        preferred_element_type=jnp.float32)  # [R, nh, T, hd]
-    out_ref[...] = o.astype(out_ref.dtype)
+        p.astype(q.dtype), v, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)  # [B, T, hd]
+    out_ref[...] = o.reshape(R, nh, T, hd).astype(out_ref.dtype)
 
 
 def _fwd_kernel_bh(seed_ref, q_ref, k_ref, v_ref, bias_ref, out_ref, *,
@@ -348,34 +359,39 @@ def _bwd_kernel_batched(seed_ref, q_ref, k_ref, v_ref, bias_ref, do_ref,
                         dq_ref, dk_ref, dv_ref, *, dropout_p: float,
                         scale: float, hw_prng: bool):
     g = pl.program_id(0)
-    R, nh, T, _ = q_ref.shape
+    R, nh, T, hd = q_ref.shape
+    B = R * nh  # single merged batch dim (Mosaic tpu.matmul limit)
     seed = seed_ref[0] + g
     if dropout_p > 0.0 and hw_prng:
         pltpu.prng_seed(seed)
-    q, k, v = q_ref[...], k_ref[...], v_ref[...]
-    do = do_ref[...].astype(jnp.float32)
+    q = q_ref[...].reshape(B, T, hd)
+    k = k_ref[...].reshape(B, T, hd)
+    v = v_ref[...].reshape(B, T, hd)
+    do = do_ref[...].reshape(B, T, hd).astype(jnp.float32)
     s = jax.lax.dot_general(
-        q, k, (((3,), (3,)), ((0, 1), (0, 1))),
+        q, k, (((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)
-    s = s * scale + bias_ref[:, :, :, :]
+    bias_b = jnp.broadcast_to(
+        bias_ref[:, 0, 0, :][:, None, :], (R, nh, T)).reshape(B, 1, T)
+    s = s * scale + bias_b
     m = jnp.max(s, axis=-1, keepdims=True)
     e = jnp.exp(s - m)
-    p = e / jnp.sum(e, axis=-1, keepdims=True)  # [R, nh, T, T] f32
+    p = e / jnp.sum(e, axis=-1, keepdims=True)  # [B, T, T] f32
     if dropout_p > 0.0:
-        bits = _dropout_bits_nd(seed, (R, nh, T, T), hw_prng)
+        bits = _dropout_bits_nd(seed, (B, T, T), hw_prng)
         keep = bits > jnp.uint32(dropout_p * 4294967296.0)
         inv = 1.0 / (1.0 - dropout_p)
         pd = jnp.where(keep, p * inv, 0.0)
     else:
         pd = p
-    # dV = Pd^T @ dO over query rows (batch dims R, nh)
+    # dV = Pd^T @ dO  (contract over query rows)
     dv = jax.lax.dot_general(
         pd.astype(q.dtype), do.astype(q.dtype),
-        (((2,), (2,)), ((0, 1), (0, 1))),
+        (((1,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)
     # dPd = dO @ V^T
     dpd = jax.lax.dot_general(
-        do.astype(q.dtype), v, (((3,), (3,)), ((0, 1), (0, 1))),
+        do.astype(q.dtype), v, (((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)
     if dropout_p > 0.0:
         dp = jnp.where(keep, dpd * inv, 0.0)
@@ -384,14 +400,14 @@ def _bwd_kernel_batched(seed_ref, q_ref, k_ref, v_ref, bias_ref, do_ref,
     ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
     ds = (ds * scale).astype(q.dtype)
     dq = jax.lax.dot_general(
-        ds, k, (((3,), (2,)), ((0, 1), (0, 1))),
+        ds, k, (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)
     dk = jax.lax.dot_general(
-        ds, q, (((2,), (2,)), ((0, 1), (0, 1))),
+        ds, q, (((1,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)
-    dq_ref[...] = dq.astype(dq_ref.dtype)
-    dk_ref[...] = dk.astype(dk_ref.dtype)
-    dv_ref[...] = dv.astype(dv_ref.dtype)
+    dq_ref[...] = dq.reshape(R, nh, T, hd).astype(dq_ref.dtype)
+    dk_ref[...] = dk.reshape(R, nh, T, hd).astype(dk_ref.dtype)
+    dv_ref[...] = dv.reshape(R, nh, T, hd).astype(dv_ref.dtype)
 
 
 def _bwd_kernel_bh(seed_ref, q_ref, k_ref, v_ref, bias_ref, do_ref,

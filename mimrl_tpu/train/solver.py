@@ -75,7 +75,18 @@ class Solver:
             dtype=jnp.bfloat16 if opt.compute_dtype == "bfloat16"
             else jnp.float32,
             quant=opt.quant,
-            flash_attn=opt.flash_attn,
+            # 'auto' engages the Pallas kernel on single-device TPU
+            # runs only: under a GSPMD mesh a pallas_call is not
+            # auto-partitionable, so a mesh run would replicate the
+            # attention activations. Explicit 'on' is honored as
+            # configured (single-axis data meshes can still shard the
+            # grid's leading batch dim).
+            flash_attn=("off" if (opt.flash_attn == "auto"
+                                  and (opt.mesh_data != 1
+                                       or opt.mesh_model > 1
+                                       or opt.mesh_pipe > 1
+                                       or opt.mesh_dcn > 1))
+                        else opt.flash_attn),
         )
         self.model = MimrlModel(
             d_t=self.d_t, d_a=self.d_a, d_v=self.d_v, d_common=opt.d_common,

@@ -82,7 +82,10 @@ def time_variant(name, env, use_kernel, shapes, p_rate, iters, mode):
             return fa_mod.flash_attention(qx, k, v, bias, seed, p_rate)
     else:
         xla = build_xla_attn(nh, hd, p_rate)
-        dkey = jax.random.PRNGKey(3)
+        # rbg like the production solver (--rng_impl rbg): threefry
+        # dropout-mask generation would inflate the XLA cell by the
+        # very cost the solver already removed
+        dkey = jax.random.key(3, impl="rbg")
 
         def apply(qx):
             return xla(qx, k, v, bias, dkey)

@@ -32,6 +32,9 @@ VARIANTS = {
     "attn_remat": {"BENCH_ATTN_REMAT": "1"},
     "layer_remat_dots": {"BENCH_LAYER_REMAT": "dots"},
     "flash_attn": {"BENCH_FLASH_ATTN": "1"},
+    # base resolves flash 'auto' -> ON on TPU since round 5; this cell
+    # keeps the XLA attention path measurable
+    "no_flash": {"BENCH_FLASH_ATTN": "0"},
     # combos worth checking if singles win
     "fold+gelu": {"BENCH_ATTN_FOLD": "1", "BENCH_GELU_REMAT": "1"},
     "fold+gelu+fused_optim": {
